@@ -1,0 +1,86 @@
+import numpy as np
+
+from alphadia_tpu.ops.xic import extract_xic, ref_extract_xic_numpy
+from alphadia_tpu.rawdata import DiaData
+from alphadia_tpu.testing.synthetic import SyntheticConfig, make_synthetic_dia
+
+
+def _setup():
+    spectra, prec, frag = make_synthetic_dia(
+        SyntheticConfig(n_peptides=30, n_windows=4, n_cycles=50, noise_peaks_per_spectrum=30)
+    )
+    dia = DiaData.from_spectra(spectra)
+    return dia, prec, frag
+
+
+def test_extract_xic_matches_numpy_reference():
+    dia, prec, frag = _setup()
+    rng = np.random.default_rng(0)
+
+    B, Q, W = 8, 6, 16
+    rows = rng.choice(len(prec), B, replace=False)
+    slot_idx = np.zeros((B, Q), np.int32)
+    query_mz = np.zeros((B, Q), np.float32)
+    cycle_start = np.zeros(B, np.int32)
+    for i, r in enumerate(rows):
+        p = prec.iloc[r]
+        slots = dia.ms2_slots_for_mz(float(p.mz_library))
+        f0, f1 = int(p.flat_frag_start_idx), int(p.flat_frag_stop_idx)
+        mzs = frag.mz_library.values[f0 : f0 + Q]
+        slot_idx[i, : len(mzs)] = slots[0]
+        slot_idx[i, len(mzs) :] = -1
+        query_mz[i, : len(mzs)] = mzs
+        cycle_start[i] = max(0, int(p._truth_rt / 1.5) - W // 2)
+
+    tol = 10.0
+    got_i, got_mz = extract_xic(
+        dia.device_arrays()["peak_mz"],
+        dia.device_arrays()["peak_intensity"],
+        dia.device_arrays()["bin_start"],
+        slot_idx,
+        query_mz,
+        np.float32(tol),
+        cycle_start,
+        n_cycles=dia.n_cycles,
+        n_bins=dia.bin_start.shape[-1] - 1,
+        bin_mz_min=dia.bin_mz_min,
+        bin_width=dia.coarse_bin_width,
+        slab=32,
+        window_len=W,
+        with_mz=True,
+    )
+    want_i, want_mz = ref_extract_xic_numpy(
+        dia, slot_idx, query_mz, tol, cycle_start, W, with_mz=True
+    )
+    np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_mz), want_mz, rtol=1e-6, atol=1e-3)
+    # signal should actually be present for detectable precursors
+    detectable = prec.iloc[rows]._truth_detectable.values
+    assert (np.asarray(got_i).sum(axis=(1, 2))[detectable] > 0).all()
+
+
+def test_extract_xic_window_clipping():
+    dia, prec, frag = _setup()
+    slot_idx = np.full((2, 3), 1, np.int32)
+    query_mz = np.full((2, 3), 500.0, np.float32)
+    # windows extending beyond both ends must not crash and edge cycles are zeroed
+    cycle_start = np.array([-8, dia.n_cycles - 4], np.int32)
+    out = extract_xic(
+        dia.device_arrays()["peak_mz"],
+        dia.device_arrays()["peak_intensity"],
+        dia.device_arrays()["bin_start"],
+        slot_idx,
+        query_mz,
+        np.float32(50.0),
+        cycle_start,
+        n_cycles=dia.n_cycles,
+        n_bins=dia.bin_start.shape[-1] - 1,
+        bin_mz_min=dia.bin_mz_min,
+        bin_width=dia.coarse_bin_width,
+        slab=32,
+        window_len=16,
+        with_mz=False,
+    )
+    out = np.asarray(out)
+    assert (out[0, :, :8] == 0).all()
+    assert (out[1, :, 4:] == 0).all()

@@ -1,0 +1,101 @@
+"""Peptide property prediction for library-free search.
+
+Role of the reference's ``PeptDeepPrediction`` step
+(reference: alphadia/libtransform/prediction.py:14-90, which shells into
+alphaPeptDeep): predict RT, ion mobility and MS2 fragment intensities for a
+digested library.
+
+This build ships self-contained JAX-free baseline predictors that the
+transfer-learning step can later replace with fine-tuned JAX models:
+
+- RT: additive hydrophobicity model (Krokhin SSRCalc-style retention
+  coefficients, public constants) with length damping, min-max normalized;
+- mobility: 0 (no prediction without trained model);
+- MS2: smooth heuristic intensity prior over b/y series (y > b, mid-series
+  maxima) — enough structure for selection/scoring to rank candidates.
+
+A fine-tuned model directory (``peptdeep_model_path``) produced by the
+transfer-learning step overrides these (loaded by models/finetune.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from alphadia_tpu.library.pipeline import ProcessingStep
+from alphadia_tpu.library.speclib import SpecLibBase
+
+# Krokhin et al. 2004-style retention coefficients (arbitrary units)
+RT_COEFF = {
+    "W": 11.0, "F": 10.5, "L": 9.6, "I": 8.4, "M": 5.8, "V": 5.0,
+    "Y": 4.0, "A": 0.8, "T": 0.4, "P": 0.2, "E": 0.0, "D": -0.5,
+    "C": -0.8, "S": -0.8, "Q": -0.9, "G": -0.9, "N": -1.2, "R": -1.3,
+    "H": -1.3, "K": -1.9, "U": -0.8,
+}
+
+
+def predict_rt_norm(sequences) -> np.ndarray:
+    """Additive hydrophobicity score, min-max normalized to [0, 1]."""
+    lut = np.zeros(128, dtype=np.float64)
+    for aa, c in RT_COEFF.items():
+        lut[ord(aa)] = c
+    scores = np.empty(len(sequences), dtype=np.float64)
+    for i, s in enumerate(sequences):
+        arr = np.frombuffer(s.encode(), dtype=np.uint8)
+        h = lut[arr].sum()
+        # N-terminal residues contribute less (SSRCalc heuristic)
+        h -= 0.5 * lut[arr[:3]].sum() * 0.3
+        # length damping for long peptides
+        if len(s) > 20:
+            h *= 1.0 - 0.01 * (len(s) - 20)
+        scores[i] = h
+    lo, hi = np.percentile(scores, [1, 99])
+    return np.clip((scores - lo) / max(hi - lo, 1e-9), 0.0, 1.0).astype(np.float32)
+
+
+def predict_ms2_prior(naa: int, n_cols: int, col_names: list[str]) -> np.ndarray:
+    """Heuristic intensity prior for one precursor's fragment matrix."""
+    n_sites = naa - 1
+    out = np.zeros((n_sites, n_cols), dtype=np.float32)
+    pos = np.arange(n_sites, dtype=np.float32)
+    # mid-series hump
+    hump = np.exp(-0.5 * ((pos - n_sites / 2) / max(n_sites / 3, 1)) ** 2)
+    for j, c in enumerate(col_names):
+        t = c.split("_z")[0]
+        z = int(c.split("_z")[1])
+        series_w = 1.0 if t == "y" else 0.6 if t == "b" else 0.3
+        charge_w = 1.0 if z == 1 else 0.35
+        # y ions numbered from C-term: weight by fragment length
+        frac = (pos + 1) / naa if t in "abc" else 1.0 - (pos + 1) / naa
+        out[:, j] = series_w * charge_w * (0.25 + 0.75 * hump) * (0.3 + 0.7 * frac)
+    m = out.max()
+    return out / m if m > 0 else out
+
+
+class SimplePrediction(ProcessingStep):
+    """Fill rt/mobility predictions + fragment intensity matrices."""
+
+    def __init__(self, fragment_types=("b", "y"), max_fragment_charge: int = 2):
+        self.fragment_types = tuple(fragment_types)
+        self.max_fragment_charge = max_fragment_charge
+
+    def validate(self, input_) -> bool:
+        return isinstance(input_, SpecLibBase)
+
+    def forward(self, lib: SpecLibBase) -> SpecLibBase:
+        df = lib.precursor_df
+        df["rt_norm"] = predict_rt_norm(df["sequence"].tolist())
+        if "mobility" not in df.columns:
+            df["mobility"] = np.float32(0)
+        if lib.fragment_mz_df is None:
+            lib.calc_fragment_mz(
+                max_charge=self.max_fragment_charge, types=self.fragment_types
+            )
+        cols = lib.charged_frag_types
+        inten = np.zeros((len(lib.fragment_mz_df), len(cols)), dtype=np.float32)
+        for naa, a, b in zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"]):
+            inten[a:b] = predict_ms2_prior(int(naa), len(cols), cols)
+        import pandas as pd
+
+        lib.fragment_intensity_df = pd.DataFrame(inten, columns=cols)
+        return lib

@@ -1,0 +1,141 @@
+"""Peak finding and extent estimation on score profiles — batched, static.
+
+Behavioral contracts (reference: alphadia/search/selection/utils.py):
+
+- `find_peaks_profile` — a peak at p requires the strict 5-point stencil
+  a[p-2] < a[p-1] < a[p] > a[p+1] > a[p+2] (find_peaks_1d:46-108); top-n
+  peaks by height are returned;
+- `suppress_close_peaks` — among peaks within `cycle_tolerance`, only the
+  highest survives (_join_close_peaks, selection.py:229);
+- `symmetric_limits_profile` — extents grow symmetrically from the apex
+  while the mean of the two flanks keeps dropping below `f` x trailing and
+  stays above center*center_fraction, clamped to [min_size, max_size]
+  (_symetric_limits_1d:230-312);
+- `join_overlapping_1d` — lower-ranked candidates whose cycle interval
+  overlaps a surviving candidate by more than `p_overlap` of its length are
+  merged into it (_join_overlapping_candidates, selection.py:287).
+
+All functions operate on [B, W] score profiles and [B, C] candidate slots
+with static C, fully vectorized (no data-dependent shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+@partial(jax.jit, static_argnames=("top_n",))
+def find_peaks_profile(score: jax.Array, *, top_n: int):
+    """[B, W] -> (peak_idx i32[B, top_n], peak_score f32[B, top_n], valid bool).
+
+    Peaks are returned in descending score order; invalid slots have idx -1.
+    """
+    B, W = score.shape
+    s = score
+    stencil = jnp.zeros((B, W), dtype=bool)
+    if W >= 5:
+        core = (
+            (s[:, 2:-2] > s[:, 1:-3])
+            & (s[:, 1:-3] > s[:, :-4])
+            & (s[:, 2:-2] > s[:, 3:-1])
+            & (s[:, 3:-1] > s[:, 4:])
+        )
+        stencil = stencil.at[:, 2:-2].set(core)
+    masked = jnp.where(stencil, s, NEG_INF)
+    peak_score, peak_idx = jax.lax.top_k(masked, top_n)
+    valid = jnp.isfinite(peak_score)
+    peak_idx = jnp.where(valid, peak_idx, -1)
+    return peak_idx.astype(jnp.int32), peak_score, valid
+
+
+def suppress_close_peaks(peak_idx, peak_score, valid, cycle_tolerance: int):
+    """Keep only the best peak within +-cycle_tolerance (peaks sorted desc)."""
+    C = peak_idx.shape[1]
+    keep = valid
+    for i in range(1, C):
+        close_to_better = jnp.zeros(peak_idx.shape[0], dtype=bool)
+        for j in range(i):
+            close = (
+                keep[:, j]
+                & (jnp.abs(peak_idx[:, i] - peak_idx[:, j]) <= cycle_tolerance)
+            )
+            close_to_better |= close
+        keep = keep.at[:, i].set(keep[:, i] & ~close_to_better)
+    return keep
+
+
+@partial(
+    jax.jit,
+    static_argnames=("min_size", "max_size"),
+)
+def symmetric_limits_profile(
+    score: jax.Array,  # [B, W]
+    center: jax.Array,  # i32[B, C]
+    *,
+    f: float,
+    center_fraction: float,
+    min_size: int,
+    max_size: int,
+):
+    """Vectorized reference `_symetric_limits_1d` over [B, C] candidates.
+
+    Returns (start i32[B, C] inclusive, stop i32[B, C] exclusive), clipped
+    to the profile bounds.
+    """
+    B, W = score.shape
+    c = jnp.clip(center, 0, W - 1)
+    center_int = jnp.take_along_axis(score, c, axis=1)  # [B, C]
+
+    def flank(s):
+        lo = jnp.clip(c - s, 0, W - 1)
+        hi = jnp.clip(c + s, 0, W - 1)
+        return (
+            jnp.take_along_axis(score, lo, axis=1)
+            + jnp.take_along_axis(score, hi, axis=1)
+        ) * 0.5
+
+    limit = jnp.full_like(c, min_size)
+    trailing = center_int
+    done = jnp.zeros_like(c, dtype=bool)
+    for s in range(min_size + 1, max_size):
+        inten = flank(s)
+        dropping = inten < f * trailing
+        above_floor = inten > center_int * center_fraction
+        advance = ~done & dropping & above_floor
+        limit = jnp.where(advance, s, limit)
+        trailing = jnp.where(advance, inten, trailing)
+        done = done | ~(dropping & above_floor)
+    start = jnp.clip(c - limit, 0, W)
+    stop = jnp.clip(c + limit + 1, 0, W)
+    return start.astype(jnp.int32), stop.astype(jnp.int32)
+
+
+def join_overlapping_1d(start, stop, keep, p_overlap: float):
+    """Merge lower-ranked overlapping candidates into higher-ranked ones.
+
+    start/stop: i32[B, C] (rank order along C); keep: bool[B, C].
+    Returns updated (start, stop, keep). Overlap fraction is measured
+    against the higher-ranked candidate's length (reference semantics).
+    """
+    C = start.shape[1]
+    for i in range(C):
+        for j in range(i + 1, C):
+            length_i = (stop[:, i] - start[:, i]).astype(jnp.float32)
+            ov = (
+                jnp.minimum(stop[:, i], stop[:, j])
+                - jnp.maximum(start[:, i], start[:, j])
+            ).astype(jnp.float32) / jnp.maximum(length_i, 1.0)
+            do_join = keep[:, i] & keep[:, j] & (ov > p_overlap) & (ov >= 0)
+            start = start.at[:, i].set(
+                jnp.where(do_join, jnp.minimum(start[:, i], start[:, j]), start[:, i])
+            )
+            stop = stop.at[:, i].set(
+                jnp.where(do_join, jnp.maximum(stop[:, i], stop[:, j]), stop[:, i])
+            )
+            keep = keep.at[:, j].set(keep[:, j] & ~do_join)
+    return start, stop, keep

@@ -1,0 +1,155 @@
+"""Batched candidate peak-group selection — the first hot kernel.
+
+One fused jitted function processes a static batch of B precursors
+end-to-end on device (replacing the per-precursor thread loop of the
+reference, alphadia/search/selection/selection.py:78-544
+`_select_candidates_pjit`):
+
+    XIC gather (fragments + MS1 isotopes)
+    -> Gaussian smoothing along cycles
+    -> score = sum log1p(fragment XICs) + sum log1p(isotope XICs),
+       standardized per precursor          (reference `_build_features`)
+    -> 5-point-stencil peak finding, top-k (reference find_peaks_1d)
+    -> close-peak suppression (+-3 cycles) (reference _join_close_peaks)
+    -> symmetric extent growth             (reference symetric_limits_2d)
+    -> overlapping-candidate merge         (reference _join_overlapping_candidates)
+
+Outputs a fixed-size candidate SoA [B, C] in absolute cycle coordinates
+(the engine's native frame unit — cycle index, not raw frame index).
+Scan dims are emitted as 0/1 dummies for data without ion mobility,
+matching the NG backend contract (reference ng_mapper.py:138-140).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from alphadia_tpu.ops.peaks import (
+    find_peaks_profile,
+    join_overlapping_1d,
+    suppress_close_peaks,
+    symmetric_limits_profile,
+)
+from alphadia_tpu.ops.smooth import convolve_profiles
+from alphadia_tpu.ops.xic import extract_xic
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_cycles",
+        "n_bins",
+        "slab",
+        "window_len",
+        "kernel_size",
+        "candidate_count",
+        "min_size_rt",
+        "max_size_rt",
+        "f_rt",
+        "center_fraction",
+        "join_close_candidates",
+        "join_cycle_threshold",
+        "peak_cycle_tolerance",
+    ),
+)
+def select_candidates_batch(
+    # device data (DiaData.device_arrays())
+    peak_mz,
+    peak_intensity,
+    bin_start,
+    # batch inputs
+    frag_slot,  # i32[B, QF]   cycle-slot per fragment observation (-1 pad)
+    frag_mz,  # f32[B, QF]
+    iso_slot,  # i32[B, QI]
+    iso_mz,  # f32[B, QI]
+    cycle_start,  # i32[B]     first cycle of each precursor's RT window
+    kernel,  # f32[kernel_size]
+    fragment_tol_ppm,  # f32 scalar
+    precursor_tol_ppm,  # f32 scalar
+    n_valid_fragments,  # i32[B]  (selection requires > 3)
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    slab: int,
+    window_len: int,
+    kernel_size: int,
+    candidate_count: int,
+    min_size_rt: int = 3,
+    max_size_rt: int = 15,
+    f_rt: float = 0.99,
+    center_fraction: float = 0.5,
+    join_close_candidates: bool = True,
+    join_cycle_threshold: float = 0.6,
+    peak_cycle_tolerance: int = 3,
+):
+    B = frag_slot.shape[0]
+    W = window_len
+    xic_kw = dict(
+        n_cycles=n_cycles,
+        n_bins=n_bins,
+        bin_mz_min=bin_mz_min,
+        bin_width=bin_width,
+        slab=slab,
+        window_len=W,
+        with_mz=False,
+    )
+
+    dense_frag = extract_xic(
+        peak_mz, peak_intensity, bin_start, frag_slot, frag_mz,
+        fragment_tol_ppm, cycle_start, **xic_kw,
+    )  # [B, QF, W]
+    dense_iso = extract_xic(
+        peak_mz, peak_intensity, bin_start, iso_slot, iso_mz,
+        precursor_tol_ppm, cycle_start, **xic_kw,
+    )  # [B, QI, W]
+
+    smooth_frag = convolve_profiles(dense_frag, kernel, kernel_size=kernel_size)
+    smooth_iso = convolve_profiles(dense_iso, kernel, kernel_size=kernel_size)
+
+    feature = jnp.log1p(jnp.maximum(smooth_frag, 0.0)).sum(axis=1) + jnp.log1p(
+        jnp.maximum(smooth_iso, 0.0)
+    ).sum(axis=1)  # [B, W]
+
+    mean = feature.mean(axis=1, keepdims=True)
+    std = feature.std(axis=1, keepdims=True)
+    score = (feature - mean) / (std + 1e-6)
+
+    peak_idx, peak_score, valid = find_peaks_profile(score, top_n=candidate_count)
+    keep = suppress_close_peaks(peak_idx, peak_score, valid, peak_cycle_tolerance)
+
+    start_rel, stop_rel = symmetric_limits_profile(
+        score,
+        jnp.maximum(peak_idx, 0),
+        f=f_rt,
+        center_fraction=center_fraction,
+        min_size=min_size_rt,
+        max_size=max_size_rt,
+    )
+    if join_close_candidates:
+        start_rel, stop_rel, keep = join_overlapping_1d(
+            start_rel, stop_rel, keep, join_cycle_threshold
+        )
+
+    enough_fragments = (n_valid_fragments > 3)[:, None]
+    keep = keep & enough_fragments
+
+    cyc0 = cycle_start[:, None]
+    cycle_center = jnp.clip(cyc0 + peak_idx, 0, n_cycles - 1)
+    cycle_lo = jnp.clip(cyc0 + start_rel, 0, n_cycles)
+    cycle_hi = jnp.clip(cyc0 + stop_rel, 0, n_cycles)
+
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+
+    return {
+        "valid": keep,
+        "rank": jnp.where(keep, rank, 0).astype(jnp.int32),
+        "score": jnp.where(keep, peak_score, 0.0).astype(jnp.float32),
+        "cycle_center": cycle_center.astype(jnp.int32),
+        "cycle_start": cycle_lo.astype(jnp.int32),
+        "cycle_stop": cycle_hi.astype(jnp.int32),
+    }

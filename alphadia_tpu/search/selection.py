@@ -1,0 +1,293 @@
+"""Host driver for candidate selection.
+
+(reference: alphadia/search/selection/selection.py:547-737
+``CandidateSelection`` host class — container build, pjit dispatch, df
+merge; here the per-precursor work happens in one fused JAX batch kernel,
+ops/selection.py)
+
+The driver vectorizes library -> batch-array preparation on host (numpy),
+pads every batch to a static shape, and streams batches through the device
+kernel. Candidates come back as a dataframe in absolute cycle coordinates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
+from alphadia_tpu.ops.selection import select_candidates_batch
+from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
+from alphadia_tpu.rawdata import DiaData
+from alphadia_tpu.reporting import logger
+from alphadia_tpu.utils import ceil_to_multiple
+
+
+@dataclass
+class SelectionConfig:
+    """Hyperparameters of candidate selection (reference:
+    CandidateSelectionConfig, search/selection/config_df.py:140-175 +
+    optimization_handler.py:350-355 overrides)."""
+
+    rt_tolerance: float = 60.0
+    precursor_mz_tolerance: float = 10.0
+    fragment_mz_tolerance: float = 15.0
+    candidate_count: int = 3
+    top_k_fragments: int = 12
+    top_k_precursors: int = 3  # isotopes
+    exclude_shared_ions: bool = True
+    kernel_size: int = 30
+    fwhm_rt: float = 5.0
+    sigma_scale_rt: float = 0.5
+    f_rt: float = 0.99
+    center_fraction: float = 0.5
+    min_size_rt: int = 3
+    max_size_rt: int = 15
+    join_close_candidates: bool = True
+    join_close_candidates_cycle_threshold: float = 0.6
+    peak_cycle_tolerance: int = 3
+    # device batching
+    batch_size: int = 2048
+    gather_slab: int = 32
+    max_ms2_obs: int = 2
+    max_ms1_obs: int = 1
+
+
+class CandidateSelection:
+    def __init__(
+        self,
+        dia_data: DiaData,
+        precursor_df: pd.DataFrame,
+        fragment_df: pd.DataFrame,
+        config: SelectionConfig | None = None,
+        rt_column: str = "rt_library",
+        precursor_mz_column: str = "mz_library",
+        fragment_mz_column: str = "mz_library",
+    ):
+        self.dia = dia_data
+        self.precursor_df = precursor_df
+        self.fragment_df = fragment_df
+        self.config = config or SelectionConfig()
+        self.rt_column = rt_column
+        self.precursor_mz_column = precursor_mz_column
+        self.fragment_mz_column = fragment_mz_column
+
+    # ------------------------------------------------------------------
+    def _window_len(self) -> int:
+        """Cycle-window length: rt tolerance padded to a multiple of 16,
+        at least max(32, kernel_size) (reference alpharaw_jit.py:140-203)."""
+        cfg = self.config
+        need = int(np.ceil(2.0 * cfg.rt_tolerance / self.dia.cycle_time))
+        return ceil_to_multiple(max(need, 32, cfg.kernel_size), 16)
+
+    def _prepare_batch_arrays(self):
+        cfg = self.config
+        dia = self.dia
+        prec = self.precursor_df
+        frag = self.fragment_df
+        n = len(prec)
+
+        mono_mz = prec[self.precursor_mz_column].to_numpy(np.float32)
+        charge = prec["charge"].to_numpy(np.int32)
+        rt = prec[self.rt_column].to_numpy(np.float32)
+
+        # --- isotopes ------------------------------------------------
+        KI = cfg.top_k_precursors
+        iso_mz = (
+            mono_mz[:, None]
+            + np.arange(KI, dtype=np.float32)[None, :] * MASS_NEUTRON_AVG / charge[:, None]
+        ).astype(np.float32)
+
+        # --- fragments (ragged -> padded, cardinality filter, top-k) --
+        starts = prec["flat_frag_start_idx"].to_numpy(np.int64)
+        stops = prec["flat_frag_stop_idx"].to_numpy(np.int64)
+        max_len = int((stops - starts).max()) if n else 1
+        k_idx = starts[:, None] + np.arange(max_len)[None, :]
+        in_range = k_idx < stops[:, None]
+        k_idx = np.minimum(k_idx, max(len(frag) - 1, 0))
+        fmz = frag[self.fragment_mz_column].to_numpy(np.float32)[k_idx]
+        fint = frag["intensity"].to_numpy(np.float32)[k_idx]
+        fcard = frag["cardinality"].to_numpy()[k_idx]
+        valid = in_range
+        if cfg.exclude_shared_ions:
+            valid &= fcard <= 1
+        # top-k by intensity among valid (padded to exactly KF columns)
+        KF = cfg.top_k_fragments
+        if max_len < KF:
+            pad_w = KF - max_len
+            fmz = np.pad(fmz, ((0, 0), (0, pad_w)))
+            fint = np.pad(fint, ((0, 0), (0, pad_w)), constant_values=-1.0)
+            valid = np.pad(valid, ((0, 0), (0, pad_w)))
+        order = np.argsort(np.where(valid, fint, -1.0), axis=1)[:, ::-1][:, :KF]
+        sel_valid = np.take_along_axis(valid, order, axis=1)
+        sel_mz = np.where(sel_valid, np.take_along_axis(fmz, order, axis=1), 0.0)
+        n_valid_fragments = sel_valid.sum(axis=1).astype(np.int32)
+
+        # --- cycle-slot assignment ------------------------------------
+        win_lo = dia.cycle[0, :, 0, 0].astype(np.float32)  # [n_slots]
+        win_hi = dia.cycle[0, :, 0, 1].astype(np.float32)
+        is_ms2 = win_lo >= 0
+        # MS2 slots whose isolation window overlaps the isotope envelope
+        iso_hi = iso_mz[:, -1]
+        match2 = is_ms2[None, :] & (win_hi[None, :] > mono_mz[:, None]) & (
+            win_lo[None, :] < iso_hi[:, None]
+        )
+        ms2_slots = _first_k_true(match2, cfg.max_ms2_obs)
+        ms1_all = np.nonzero(~is_ms2)[0][: cfg.max_ms1_obs]
+        if dia.has_ms1 and len(ms1_all):
+            ms1_slots = np.broadcast_to(
+                ms1_all.astype(np.int32), (n, len(ms1_all))
+            ).copy()
+        else:
+            ms1_slots = np.full((n, 1), -1, np.int32)
+
+        # fragment queries: KF fragments x max_ms2_obs observations
+        QF = KF * cfg.max_ms2_obs
+        frag_slot = np.repeat(ms2_slots, KF, axis=1)  # [n, QF]
+        frag_mz_q = np.tile(sel_mz, cfg.max_ms2_obs)
+        frag_slot = np.where(
+            np.tile(sel_valid, cfg.max_ms2_obs), frag_slot, -1
+        ).astype(np.int32)
+
+        # isotope queries
+        n_obs1 = ms1_slots.shape[1]
+        iso_slot = np.repeat(ms1_slots, KI, axis=1).astype(np.int32)
+        iso_mz_q = np.tile(iso_mz, n_obs1)
+
+        # --- cycle windows -------------------------------------------
+        W = self._window_len()
+        center = np.searchsorted(dia.cycle_rt, rt).astype(np.int64)
+        cycle_start = np.clip(center - W // 2, 0, max(dia.n_cycles - W, 0)).astype(
+            np.int32
+        )
+
+        return {
+            "frag_slot": frag_slot,
+            "frag_mz": frag_mz_q.astype(np.float32),
+            "iso_slot": iso_slot,
+            "iso_mz": iso_mz_q.astype(np.float32),
+            "cycle_start": cycle_start,
+            "n_valid_fragments": n_valid_fragments,
+            "window_len": W,
+        }
+
+    # ------------------------------------------------------------------
+    def __call__(self, thread_count: int | None = None) -> pd.DataFrame:
+        cfg = self.config
+        dia = self.dia
+        n = len(self.precursor_df)
+        if n == 0:
+            return _empty_candidates_df()
+
+        arrays = self._prepare_batch_arrays()
+        W = arrays["window_len"]
+
+        sigma = rt_kernel_sigma(cfg.fwhm_rt, cfg.sigma_scale_rt, dia.cycle_time)
+        kernel = gaussian_kernel_1d(cfg.kernel_size, sigma)
+
+        dev = dia.device_arrays()
+        static_kw = dict(
+            n_cycles=dia.n_cycles,
+            n_bins=dia.bin_start.shape[-1] - 1,
+            bin_mz_min=dia.bin_mz_min,
+            bin_width=dia.coarse_bin_width,
+            slab=cfg.gather_slab,
+            window_len=W,
+            kernel_size=cfg.kernel_size,
+            candidate_count=cfg.candidate_count,
+            min_size_rt=cfg.min_size_rt,
+            max_size_rt=cfg.max_size_rt,
+            f_rt=cfg.f_rt,
+            center_fraction=cfg.center_fraction,
+            join_close_candidates=cfg.join_close_candidates,
+            join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
+            peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+        )
+
+        Bsz = cfg.batch_size
+        out_frames = []
+        precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
+        for b0 in range(0, n, Bsz):
+            b1 = min(b0 + Bsz, n)
+            pad = Bsz - (b1 - b0)
+
+            def _pad(a):
+                sl = a[b0:b1]
+                if pad:
+                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                return sl
+
+            nvf = _pad(arrays["n_valid_fragments"])
+            if pad:
+                nvf = nvf.copy()
+                nvf[-pad:] = 0
+            result = select_candidates_batch(
+                dev["peak_mz"],
+                dev["peak_intensity"],
+                dev["bin_start"],
+                _pad(arrays["frag_slot"]),
+                _pad(arrays["frag_mz"]),
+                _pad(arrays["iso_slot"]),
+                _pad(arrays["iso_mz"]),
+                _pad(arrays["cycle_start"]),
+                kernel,
+                np.float32(cfg.fragment_mz_tolerance),
+                np.float32(cfg.precursor_mz_tolerance),
+                nvf,
+                **static_kw,
+            )
+            result = {k: np.asarray(v) for k, v in result.items()}
+            valid = result["valid"].copy()
+            if pad:
+                valid[Bsz - pad :] = False
+            rows, cands = np.nonzero(valid)
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "precursor_idx": precursor_idx[b0 + rows],
+                        "rank": result["rank"][rows, cands].astype(np.uint8),
+                        "score": result["score"][rows, cands],
+                        "scan_start": np.zeros(len(rows), np.int64),
+                        "scan_center": np.zeros(len(rows), np.int64),
+                        "scan_stop": np.ones(len(rows), np.int64),
+                        "frame_start": result["cycle_start"][rows, cands].astype(np.int64),
+                        "frame_center": result["cycle_center"][rows, cands].astype(np.int64),
+                        "frame_stop": result["cycle_stop"][rows, cands].astype(np.int64),
+                    }
+                )
+            )
+
+        candidates = pd.concat(out_frames, ignore_index=True)
+        logger.info(
+            f"Candidate selection: {len(candidates)} candidates for {n} precursors "
+            f"(window {W} cycles)"
+        )
+        return candidates
+
+
+def _first_k_true(mask: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the first k true columns per row; -1 where fewer."""
+    n = mask.shape[0]
+    out = np.full((n, k), -1, np.int32)
+    # argsort of ~mask is stable: true columns first in column order
+    order = np.argsort(~mask, axis=1, kind="stable")[:, :k]
+    has = np.take_along_axis(mask, order, axis=1)
+    out = np.where(has, order.astype(np.int32), -1)
+    return out
+
+
+def _empty_candidates_df() -> pd.DataFrame:
+    cols = {
+        "precursor_idx": np.int64,
+        "rank": np.uint8,
+        "score": np.float32,
+        "scan_start": np.int64,
+        "scan_center": np.int64,
+        "scan_stop": np.int64,
+        "frame_start": np.int64,
+        "frame_center": np.int64,
+        "frame_stop": np.int64,
+    }
+    return pd.DataFrame({k: np.array([], dtype=v) for k, v in cols.items()})

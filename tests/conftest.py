@@ -6,12 +6,20 @@ on forced host devices (the driver separately dry-runs `dryrun_multichip`).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (single TPU via a remote-compile
+# tunnel; ~40 s per jit compile, one client at a time). Tests must force CPU.
+# The axon sitecustomize's register() overrides the env var programmatically,
+# so the only reliable switch is jax.config BEFORE any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,133 @@
+"""Vectorized feature primitives for candidate scoring.
+
+Each helper is the batched, masked, static-shape analogue of a numba
+kernel in the reference:
+
+- masked_corrcoef        <- save_corrcoeff (scoring/utils.py:479)
+- or_envelope            <- or_envelope_1d/2d (scoring/utils.py:47-68)
+- center_envelope_odd    <- _odd_center_envelope (features/fragment_features.py:72)
+- weighted_center_mean   <- weighted_center_mean (features/features_utils.py:10)
+- weighted_center_of_mass<- weighted_center_of_mass (features/fragment_features.py:21)
+- logistic_rectangle     <- quadrupole.py:13-44
+- masked_median          (for the experimental-XIC median profile)
+
+Conventions: profiles are [..., W] along the cycle axis with the candidate
+apex re-centered at W // 2; `mask` marks real (non-padding) entries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def logistic_rectangle(mu1, mu2, sigma1, sigma2, x):
+    """Quadrupole transmission: rising logistic at mu1 minus one at mu2."""
+    return jax.nn.sigmoid((x - mu1) / sigma1) - jax.nn.sigmoid((x - mu2) / sigma2)
+
+
+def masked_corrcoef(x, y, mask, axis=-1, eps=1e-12):
+    """Pearson correlation over masked entries along `axis`."""
+    m = mask.astype(x.dtype)
+    n = jnp.maximum(m.sum(axis=axis, keepdims=True), 1.0)
+    xm = (x * m).sum(axis=axis, keepdims=True) / n
+    ym = (y * m).sum(axis=axis, keepdims=True) / n
+    xc = (x - xm) * m
+    yc = (y - ym) * m
+    num = (xc * yc).sum(axis=axis)
+    den = jnp.sqrt((xc**2).sum(axis=axis) * (yc**2).sum(axis=axis))
+    return num / (den + eps)
+
+
+def pearson_rows(x, y, eps=1e-12):
+    """Row-wise Pearson between matching [..., W] profiles (no mask)."""
+    xm = x.mean(axis=-1, keepdims=True)
+    ym = y.mean(axis=-1, keepdims=True)
+    xc = x - xm
+    yc = y - ym
+    num = (xc * yc).sum(axis=-1)
+    den = jnp.sqrt((xc**2).sum(axis=-1) * (yc**2).sum(axis=-1))
+    return num / (den + eps)
+
+
+def or_envelope(x):
+    """Replace local dips with the mean of their neighbours ([..., W])."""
+    left = x[..., :-2]
+    right = x[..., 2:]
+    mid = x[..., 1:-1]
+    dip = (mid < left) | (mid < right)
+    repaired = jnp.where(dip, (left + right) * 0.5, mid)
+    return jnp.concatenate([x[..., :1], repaired, x[..., -1:]], axis=-1)
+
+
+def center_envelope_odd(x, center: int):
+    """Interference-correction envelope walking outwards from `center`
+    (static index). x: [..., W]; returns corrected copy."""
+    W = x.shape[-1]
+    left_int = (x[..., center - 1] + x[..., center]) * 0.5
+    right_int = (x[..., center + 1] + x[..., center]) * 0.5
+    out = x
+    for i in range(1, center + 1):
+        li = center - i
+        ri = center + i
+        if li < 0 or ri >= W:
+            break
+        new_l = jnp.minimum(left_int, out[..., li])
+        out = out.at[..., li].set(new_l)
+        left_int = (new_l + out[..., li + 1]) * 0.5
+        new_r = jnp.minimum(right_int, out[..., ri])
+        out = out.at[..., ri].set(new_r)
+        right_int = (new_r + out[..., ri - 1]) * 0.5
+    return out
+
+
+def weighted_center_of_mass(profile, mask):
+    """Intensity-weighted frame mean over [..., W] profiles.
+
+    Returns (com, total). Zero entries carry no weight (matches reference
+    nonzero-only accumulation).
+    """
+    W = profile.shape[-1]
+    frames = jnp.arange(W, dtype=profile.dtype)
+    w = jnp.where(mask, profile, 0.0)
+    total = w.sum(axis=-1)
+    com = jnp.where(total > 0, (w * frames).sum(axis=-1) / jnp.maximum(total, 1e-12), 0.0)
+    return com, total
+
+
+def weighted_center_mean(values, center, mask):
+    """exp(-0.1 * |frame - center|)-weighted mean of nonzero values.
+
+    values: [..., W], center: [...] (broadcast), mask: [..., W].
+    (reference weighted_center_mean, scan dim collapsed — distance is the
+    frame distance for data without ion mobility)
+    """
+    W = values.shape[-1]
+    frames = jnp.arange(W, dtype=values.dtype)
+    nz = (values > 0) & mask
+    dist = jnp.abs(frames - center[..., None])
+    w = jnp.where(nz, jnp.exp(-0.1 * dist), 0.0)
+    wsum = w.sum(axis=-1)
+    return jnp.where(wsum > 0, (values * w).sum(axis=-1) / jnp.maximum(wsum, 1e-12), 0.0)
+
+
+def masked_median(x, mask, axis=0):
+    """Median over masked entries (NaN-propagation trick)."""
+    filled = jnp.where(mask, x, jnp.nan)
+    med = jnp.nanmedian(filled, axis=axis)
+    return jnp.nan_to_num(med)
+
+
+def masked_mean(x, mask, axis=-1):
+    m = mask.astype(x.dtype)
+    n = jnp.maximum(m.sum(axis=axis), 1.0)
+    return (x * m).sum(axis=axis) / n
+
+
+def topk_mean_by(values, keys, mask, k=3):
+    """Mean of `values` at the k largest `keys` among masked entries."""
+    masked_keys = jnp.where(mask, keys, -jnp.inf)
+    _, idx = jax.lax.top_k(masked_keys, k)
+    v = jnp.take_along_axis(values, idx, axis=-1)
+    valid = jnp.take_along_axis(mask, idx, axis=-1)
+    return masked_mean(v, valid)

@@ -1,0 +1,424 @@
+"""Batched candidate scoring — the hot kernel of the engine.
+
+One fused jitted function scores a static batch of B candidates, producing
+the 46-feature array and per-fragment quantification outputs
+(reference: alphadia/search/scoring/containers/candidate.py:40-504
+``Candidate.process`` + features/*.py + quadrupole.py — one numba thread per
+score group there; one vectorized device batch here).
+
+Feature index map (order of reference DEFAULT_FEATURE_COLUMNS,
+scoring.py:34-81): 0 base_width_mobility, 1 base_width_rt, 2 rt_observed,
+3 mobility_observed, 4 mono_ms1_intensity, 5 top_ms1_intensity,
+6 sum_ms1_intensity, 7 weighted_ms1_intensity, 8 weighted_mass_deviation,
+9 weighted_mass_error, 10 mz_observed, 11 mono_ms1_height, 12 top_ms1_height,
+13 sum_ms1_height, 14 weighted_ms1_height, 15 isotope_intensity_correlation,
+16 isotope_height_correlation, 17 n_observations, 18 intensity_correlation,
+19 height_correlation, 20 intensity_fraction, 21 height_fraction,
+22 intensity_fraction_weighted, 23 height_fraction_weighted,
+24 mean_observation_score, 25 sum_b_ion_intensity, 26 sum_y_ion_intensity,
+27 diff_b_y_ion_intensity, 28 f_masked, 29 fragment_scan_correlation,
+30 template_scan_correlation, 31 fragment_frame_correlation,
+32 top3_frame_correlation, 33 template_frame_correlation,
+34 top3_b_ion_correlation, 35 n_b_ions, 36 top3_y_ion_correlation,
+37 n_y_ions, 38 cycle_fwhm, 39 mobility_fwhm, 40 delta_frame_peak,
+41 top_3_ms2_mass_error, 42 mean_ms2_mass_error, 43 n_overlapping,
+44 mean_overlapping_intensity, 45 mean_overlapping_mass_error.
+
+This is the 3D path (no ion mobility: scan dim collapsed, features 29/30/39
+fixed at 0). Profiles are extracted re-centered: the XIC window starts at
+``frame_center - W//2`` so the apex sits at the static index W//2 —
+removing every data-dependent center the reference handles dynamically.
+
+Deliberate deviation from the reference: the expected center for the
+precursor weighted-center-mean is the window center (the reference feeds
+array *shapes* as centers there — see features/precursor_features.py:52-57);
+the downstream NN is retrained on our features, so exact replication of
+that artifact is not useful.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from alphadia_tpu.constants.settings import NUM_FEATURES
+from alphadia_tpu.ops.features import (
+    center_envelope_odd,
+    logistic_rectangle,
+    masked_corrcoef,
+    masked_mean,
+    masked_median,
+    pearson_rows,
+    topk_mean_by,
+    weighted_center_mean,
+    weighted_center_of_mass,
+)
+from alphadia_tpu.ops.xic import extract_xic
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_cycles",
+        "n_bins",
+        "slab",
+        "window_len",
+        "quant_window",
+        "quant_all",
+        "experimental_xic",
+    ),
+)
+def score_candidates_batch(
+    # device data
+    peak_mz,
+    peak_intensity,
+    bin_start,
+    cycle_rt,  # f32[n_cycles]
+    # candidate batch
+    frag_mz,  # f32[B, KF] library (calibrated) fragment m/z; 0 = pad
+    frag_valid,  # bool[B, KF]
+    frag_intensity,  # f32[B, KF] library intensity
+    frag_type,  # i32[B, KF] (98=b, 121=y)
+    frag_position,  # i32[B, KF]
+    iso_mz,  # f32[B, KI]
+    iso_intensity,  # f32[B, KI]
+    ms2_slot,  # i32[B, O2] (-1 pad)
+    ms1_slot,  # i32[B, O1] (-1 pad)
+    win_lo,  # f32[B, O2] quad window bounds per ms2 obs (dummy for pad)
+    win_hi,  # f32[B, O2]
+    quad_sigma,  # f32[2] logistic edge sigmas
+    quad_delta_mu,  # f32[2]
+    frame_center,  # i32[B] absolute cycle of apex
+    frame_start,  # i32[B]
+    frame_stop,  # i32[B] exclusive
+    fragment_tol_ppm,
+    precursor_tol_ppm,
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    slab: int,
+    window_len: int,
+    quant_window: int = 3,
+    quant_all: bool = True,
+    experimental_xic: bool = True,
+):
+    B, KF = frag_mz.shape
+    KI = iso_mz.shape[1]
+    O2 = ms2_slot.shape[1]
+    O1 = ms1_slot.shape[1]
+    W = window_len
+    C = W // 2  # static apex index
+
+    f32 = jnp.float32
+    cycle_start = frame_center - C
+
+    # ---- window masks -------------------------------------------------
+    cyc = cycle_start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]  # [B, W]
+    in_candidate = (cyc >= frame_start[:, None]) & (cyc < frame_stop[:, None])
+    in_data = (cyc >= 0) & (cyc < n_cycles)
+    wmask = in_candidate & in_data  # [B, W]
+
+    xic_kw = dict(
+        n_cycles=n_cycles,
+        n_bins=n_bins,
+        bin_mz_min=bin_mz_min,
+        bin_width=bin_width,
+        slab=slab,
+        window_len=W,
+        with_mz=True,
+    )
+
+    # ---- dense fragments [B, KF, O2, W] -------------------------------
+    fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
+    fmzq = jnp.broadcast_to(frag_mz[:, :, None], (B, KF, O2))
+    d_frag_int, d_frag_mz = extract_xic(
+        peak_mz, peak_intensity, bin_start,
+        fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
+        fragment_tol_ppm, cycle_start, **xic_kw,
+    )
+    d_frag_int = d_frag_int.reshape(B, KF, O2, W) * wmask[:, None, None, :]
+    d_frag_mz = d_frag_mz.reshape(B, KF, O2, W) * wmask[:, None, None, :]
+
+    # ---- dense precursors, observations collapsed [B, KI, W] ----------
+    islot = jnp.broadcast_to(ms1_slot[:, None, :], (B, KI, O1))
+    imzq = jnp.broadcast_to(iso_mz[:, :, None], (B, KI, O1))
+    d_prec_int_o, d_prec_mz_o = extract_xic(
+        peak_mz, peak_intensity, bin_start,
+        islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
+        precursor_tol_ppm, cycle_start, **xic_kw,
+    )
+    d_prec_int_o = d_prec_int_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
+    d_prec_mz_o = d_prec_mz_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
+    d_prec_int = d_prec_int_o.sum(axis=2)  # [B, KI, W]
+    nz = (d_prec_mz_o > 0).sum(axis=2).astype(f32)
+    d_prec_mz = d_prec_mz_o.sum(axis=2) / (nz + 1e-6)  # reference sum/count
+
+    # ---- quadrupole transfer + template -------------------------------
+    # qtf[B, KI, O2] (scan dim singleton for 3D data)
+    qtf = logistic_rectangle(
+        win_lo[:, None, :] + quad_delta_mu[0],
+        win_hi[:, None, :] + quad_delta_mu[1],
+        quad_sigma[0],
+        quad_sigma[1],
+        iso_mz[:, :, None],
+    )
+    obs_valid = ms2_slot >= 0  # [B, O2]
+    qtf = qtf * obs_valid[:, None, :]
+
+    # mask fragments by mean transmission of the isotope envelope
+    qtf_mask = qtf.mean(axis=1)  # [B, O2]
+    d_frag_int = d_frag_int * qtf_mask[:, None, :, None]
+
+    # template[B, O2, W] = sum_iso iso_int * qtf * precursor trace
+    template = (
+        iso_intensity[:, :, None, None] * qtf[:, :, :, None] * d_prec_int[:, :, None, :]
+    ).sum(axis=1)
+
+    t_sum = template.sum(axis=-1)  # [B, O2]
+    total = t_sum.sum(axis=-1, keepdims=True)
+    obs_imp = jnp.where(
+        total > 0,
+        t_sum / jnp.maximum(total, 1e-12),
+        obs_valid.astype(f32) / jnp.maximum(obs_valid.sum(-1, keepdims=True), 1),
+    )  # [B, O2]
+
+    # ---- fragment validity -------------------------------------------
+    frag_signal = d_frag_int.sum(axis=(2, 3)) > 0  # [B, KF]
+    fmask = frag_valid & frag_signal
+    n_valid = fmask.sum(axis=1)  # [B]
+    n_input = jnp.maximum(frag_valid.sum(axis=1), 1)
+
+    features = jnp.zeros((B, NUM_FEATURES), dtype=f32)
+    features = features.at[:, 28].set(n_valid / n_input)  # f_masked
+
+    # ---- location features -------------------------------------------
+    rt_start = cycle_rt[jnp.clip(frame_start, 0, n_cycles - 1)]
+    rt_stop = cycle_rt[jnp.clip(frame_stop - 1, 0, n_cycles - 1)]
+    rt_obs = cycle_rt[jnp.clip(frame_center, 0, n_cycles - 1)]
+    features = features.at[:, 1].set(rt_stop - rt_start)
+    features = features.at[:, 2].set(rt_obs)
+    features = features.at[:, 3].set(1e-6)
+
+    # ---- precursor features ------------------------------------------
+    sum_prec = d_prec_int.sum(axis=-1)  # [B, KI] (obs importance sums to 1)
+    features = features.at[:, 4].set(sum_prec[:, 0])
+    top_iso = jnp.argmax(iso_intensity, axis=1)  # [B]
+    features = features.at[:, 5].set(
+        jnp.take_along_axis(sum_prec, top_iso[:, None], axis=1)[:, 0]
+    )
+    features = features.at[:, 6].set(sum_prec.sum(axis=1))
+    features = features.at[:, 7].set((sum_prec * iso_intensity).sum(axis=1))
+
+    center_arr = jnp.full((B, KI), float(C), dtype=f32)
+    prec_height = weighted_center_mean(d_prec_int, center_arr, wmask[:, None, :])
+    prec_mz_obs = weighted_center_mean(d_prec_mz, center_arr, wmask[:, None, :])
+    mz_nz = prec_mz_obs > 0
+    mass_err_iso = (prec_mz_obs - iso_mz) / iso_mz * 1e6
+    weighted_mass_error = (jnp.where(mz_nz, mass_err_iso, 0.0) * iso_intensity).sum(axis=1)
+    features = features.at[:, 8].set(weighted_mass_error)
+    features = features.at[:, 9].set(jnp.abs(weighted_mass_error))
+    features = features.at[:, 10].set(
+        iso_mz[:, 0] + weighted_mass_error * 1e-6 * iso_mz[:, 0]
+    )
+    features = features.at[:, 11].set(prec_height[:, 0])
+    features = features.at[:, 12].set(
+        jnp.take_along_axis(prec_height, top_iso[:, None], axis=1)[:, 0]
+    )
+    features = features.at[:, 13].set(prec_height.sum(axis=1))
+    features = features.at[:, 14].set((prec_height * iso_intensity).sum(axis=1))
+    ones = jnp.ones((B, KI), dtype=bool)
+    features = features.at[:, 15].set(
+        masked_corrcoef(iso_intensity, sum_prec, ones)
+    )
+    features = features.at[:, 16].set(
+        masked_corrcoef(iso_intensity, prec_height, ones)
+    )
+    features = features.at[:, 17].set(obs_valid.sum(axis=1).astype(f32))
+
+    # ---- fragment profiles -------------------------------------------
+    # frame profile per (fragment, obs): scan dim already collapsed
+    frame_profile = d_frag_int  # [B, KF, O2, W]
+    intensity_norm = jnp.where(fmask, frag_intensity, 0.0)
+    intensity_norm = intensity_norm / jnp.maximum(
+        intensity_norm.sum(axis=1, keepdims=True), 1e-12
+    )
+
+    # template center of mass per obs
+    com, _t = weighted_center_of_mass(template, wmask[:, None, :])  # [B, O2]
+
+    # quantification profile
+    if quant_all:
+        best_profile = frame_profile.sum(axis=2)  # [B, KF, W]
+    else:
+        bo = jnp.argmax(obs_imp, axis=1)  # [B]
+        best_profile = jnp.take_along_axis(
+            frame_profile, bo[:, None, None, None], axis=2
+        )[:, :, 0, :]
+    best_profile = center_envelope_odd(best_profile, C)
+
+    qw = min(max(W // 2 - 1, 1), quant_window)
+    prof_q = jax.lax.dynamic_slice_in_dim(best_profile, C - qw, 2 * qw + 1, axis=2)
+    rt_win = cycle_rt[jnp.clip(cyc, 0, n_cycles - 1)]  # [B, W]
+    rt_q = jax.lax.dynamic_slice_in_dim(rt_win, C - qw, 2 * qw + 1, axis=1)
+    delta_rt_q = rt_q[:, 1:] - rt_q[:, :-1]  # [B, 2qw]
+    fragment_area = (
+        (prof_q[:, :, 1:] + prof_q[:, :, :-1]) * delta_rt_q[:, None, :] * 0.5
+    ).sum(axis=-1)
+    fragment_area_norm = fragment_area * qw  # [B, KF] -> 'intensity'
+    observed_intensity = prof_q.sum(axis=-1)  # [B, KF]
+
+    sum_frag_int = frame_profile.sum(axis=-1)  # [B, KF, O2]
+
+    # observed mz / height at template center of mass
+    com_f = jnp.broadcast_to(com[:, None, :], (B, KF, O2))
+    o_mz = weighted_center_mean(
+        d_frag_mz, com_f, wmask[:, None, None, :] & jnp.ones((1, KF, O2, 1), bool)
+    )  # [B, KF, O2]
+    o_height = weighted_center_mean(
+        d_frag_int, com_f, wmask[:, None, None, :] & jnp.ones((1, KF, O2, 1), bool)
+    )
+    h_mask = o_height > 0  # [B, KF, O2]
+    h_w = h_mask * obs_imp[:, None, :]
+    h_w = h_w / (h_w.sum(axis=-1, keepdims=True) + 1e-20)
+    observed_mz = (o_mz * h_w).sum(axis=-1)  # [B, KF]
+    observed_height = (o_height * h_w).sum(axis=-1)
+
+    features = features.at[:, 18].set(
+        masked_corrcoef(fragment_area_norm, intensity_norm, fmask)
+    )
+    features = features.at[:, 19].set(
+        masked_corrcoef(observed_height, intensity_norm, fmask)
+    )
+    int_nz = (observed_intensity > 0) & fmask
+    h_nz = (observed_height > 0) & fmask
+    nf = jnp.maximum(n_valid.astype(f32), 1.0)
+    features = features.at[:, 20].set(int_nz.sum(axis=1) / nf)
+    features = features.at[:, 21].set(h_nz.sum(axis=1) / nf)
+    features = features.at[:, 22].set((intensity_norm * int_nz).sum(axis=1))
+    features = features.at[:, 23].set((intensity_norm * h_nz).sum(axis=1))
+
+    # mean_observation_score: cosine(template per-obs intensity, fragment per-obs)
+    t_norm = jnp.sqrt((t_sum**2).sum(axis=-1))  # [B]
+    f_norm = jnp.sqrt((sum_frag_int**2).sum(axis=-1))  # [B, KF]
+    cos = (sum_frag_int * t_sum[:, None, :]).sum(axis=-1) / (
+        f_norm * t_norm[:, None] + 1e-4
+    )
+    features = features.at[:, 24].set(masked_mean(cos, int_nz))
+
+    is_b = frag_type == 98
+    is_y = frag_type == 121
+    b_int = (observed_intensity * (is_b & fmask)).sum(axis=1)
+    y_int = (observed_intensity * (is_y & fmask)).sum(axis=1)
+    features = features.at[:, 25].set(jnp.log1p(b_int))
+    features = features.at[:, 26].set(jnp.log1p(y_int))
+    features = features.at[:, 27].set(features[:, 25] - features[:, 26])
+
+    # ---- frame correlation features ----------------------------------
+    profile_all = frame_profile.sum(axis=2)  # [B, KF, W]
+    if experimental_xic:
+        norm_prof = profile_all / jnp.maximum(
+            profile_all.sum(axis=-1, keepdims=True), 1e-12
+        )
+        med_prof = masked_median(
+            norm_prof, fmask[:, :, None] & wmask[:, None, :], axis=1
+        )  # [B, W]
+        frame_corr = pearson_rows(
+            jnp.broadcast_to(med_prof[:, None, :], profile_all.shape), profile_all
+        )  # [B, KF]
+        top3_corr = topk_mean_by(frame_corr, frag_intensity, fmask, 3)
+    else:
+        pm = profile_all - profile_all.mean(axis=-1, keepdims=True)
+        cov = jnp.einsum("bfw,bgw->bfg", pm, pm) / W
+        sd = jnp.sqrt(jnp.maximum(jnp.einsum("bfw,bfw->bf", pm, pm) / W, 0.0))
+        corr_mat = cov / (sd[:, :, None] * sd[:, None, :] + 1e-12)
+        frame_corr = jnp.einsum(
+            "bfg,bg->bf", corr_mat * fmask[:, None, :], frag_intensity
+        )
+        top3_corr = topk_mean_by(frame_corr, frag_intensity, fmask, 3)
+
+    features = features.at[:, 31].set(masked_mean(frame_corr, fmask))
+    features = features.at[:, 32].set(top3_corr)
+
+    # template-fragment frame correlation per obs, importance-reduced
+    tf_corr = pearson_rows(
+        frame_profile, jnp.broadcast_to(template[:, None, :, :], frame_profile.shape)
+    )  # [B, KF, O2]
+    tf_red = (tf_corr * obs_imp[:, None, :]).sum(axis=-1)  # [B, KF]
+    features = features.at[:, 33].set(
+        (tf_red * jnp.where(fmask, frag_intensity, 0.0)).sum(axis=1)
+    )
+
+    features = features.at[:, 34].set(
+        topk_mean_by(frame_corr, frag_intensity, fmask & is_b, 3)
+    )
+    features = features.at[:, 35].set((fmask & is_b).sum(axis=1).astype(f32))
+    features = features.at[:, 36].set(
+        topk_mean_by(frame_corr, frag_intensity, fmask & is_y, 3)
+    )
+    features = features.at[:, 37].set((fmask & is_y).sum(axis=1).astype(f32))
+
+    # ---- cycle FWHM ---------------------------------------------------
+    half_max = frame_profile.max(axis=-1, keepdims=True) * 0.5
+    frac_above = (frame_profile > half_max).sum(axis=-1).astype(f32) / W
+    rt_width = (rt_stop - rt_start)[:, None, None]
+    cycle_fwhm = frac_above * rt_width  # [B, KF, O2]
+    fwhm_red = (cycle_fwhm * obs_imp[:, None, :]).sum(axis=-1)
+    features = features.at[:, 38].set(
+        (fwhm_red * jnp.where(fmask, frag_intensity, 0.0)).sum(axis=1)
+    )
+
+    # ---- delta frame peak --------------------------------------------
+    peak_pos = jnp.argmax(frame_profile, axis=-1).astype(f32)  # [B, KF, O2]
+    med_peak = masked_median(
+        peak_pos, fmask[:, :, None] & obs_valid[:, None, :], axis=1
+    )  # [B, O2]
+    features = features.at[:, 40].set(
+        ((med_peak - float(W // 2)) * obs_imp).sum(axis=-1)
+    )
+
+    # ---- MS2 mass errors ---------------------------------------------
+    mass_error = (observed_mz - frag_mz) / jnp.maximum(frag_mz, 1e-6) * 1e6
+    features = features.at[:, 41].set(
+        topk_mean_by(mass_error, frag_intensity, fmask, 3)
+    )
+    features = features.at[:, 42].set(masked_mean(mass_error, fmask))
+
+    # ---- overlapping b/y series --------------------------------------
+    big = jnp.int32(10_000)
+    pos = frag_position
+    has_b = (fmask & is_b).any(axis=1)
+    has_y = (fmask & is_y).any(axis=1)
+    min_y = jnp.where(fmask & is_y, pos, big).min(axis=1)  # [B]
+    max_b = jnp.where(fmask & is_b, pos, -big).max(axis=1)
+    overlapping = fmask & (
+        (is_y & (pos < max_b[:, None])) | (is_b & (pos > min_y[:, None]))
+    )
+    overlapping = overlapping & has_b[:, None] & has_y[:, None]
+    n_over = overlapping.sum(axis=1).astype(f32)
+    features = features.at[:, 43].set(n_over)
+    features = features.at[:, 44].set(
+        jnp.where(n_over > 0, masked_mean(fragment_area_norm, overlapping), 0.0)
+    )
+    features = features.at[:, 45].set(
+        jnp.where(
+            n_over > 0,
+            masked_mean(mass_error, overlapping),
+            jnp.where(has_b & has_y, 15.0, 0.0),
+        )
+    )
+
+    valid = n_valid >= 2
+
+    fragment_out = {
+        "mz_observed": observed_mz,
+        "mass_error": mass_error,
+        "height": observed_height,
+        "intensity": fragment_area_norm,
+        "correlation": frame_corr,
+        "valid": fmask,
+    }
+    return features, valid, fragment_out

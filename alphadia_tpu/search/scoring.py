@@ -1,0 +1,421 @@
+"""Host driver for candidate scoring.
+
+(reference: alphadia/search/scoring/scoring.py:114-661 ``CandidateScoring`` —
+score-group container build, pjit dispatch, PSM/fragment df collection; here
+batch-array preparation + one fused device kernel per batch.)
+
+Produces the PSM feature dataframe (46 named features + precursor metadata +
+derived columns like delta_rt) and the per-fragment quantification frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
+from alphadia_tpu.ops.scoring import score_candidates_batch
+from alphadia_tpu.rawdata import DiaData
+from alphadia_tpu.reporting import logger
+from alphadia_tpu.utils import ceil_to_multiple
+
+# order must match ops/scoring.py feature indices
+FEATURE_COLUMNS = [
+    "base_width_mobility",
+    "base_width_rt",
+    "rt_observed",
+    "mobility_observed",
+    "mono_ms1_intensity",
+    "top_ms1_intensity",
+    "sum_ms1_intensity",
+    "weighted_ms1_intensity",
+    "weighted_mass_deviation",
+    "weighted_mass_error",
+    "mz_observed",
+    "mono_ms1_height",
+    "top_ms1_height",
+    "sum_ms1_height",
+    "weighted_ms1_height",
+    "isotope_intensity_correlation",
+    "isotope_height_correlation",
+    "n_observations",
+    "intensity_correlation",
+    "height_correlation",
+    "intensity_fraction",
+    "height_fraction",
+    "intensity_fraction_weighted",
+    "height_fraction_weighted",
+    "mean_observation_score",
+    "sum_b_ion_intensity",
+    "sum_y_ion_intensity",
+    "diff_b_y_ion_intensity",
+    "f_masked",
+    "fragment_scan_correlation",
+    "template_scan_correlation",
+    "fragment_frame_correlation",
+    "top3_frame_correlation",
+    "template_frame_correlation",
+    "top3_b_ion_correlation",
+    "n_b_ions",
+    "top3_y_ion_correlation",
+    "n_y_ions",
+    "cycle_fwhm",
+    "mobility_fwhm",
+    "delta_frame_peak",
+    "top_3_ms2_mass_error",
+    "mean_ms2_mass_error",
+    "n_overlapping",
+    "mean_overlapping_intensity",
+    "mean_overlapping_mass_error",
+]
+
+# precursor columns carried into the PSM table when present
+PRECURSOR_CARRY_COLUMNS = [
+    "elution_group_idx",
+    "decoy",
+    "channel",
+    "charge",
+    "mz_library",
+    "rt_library",
+    "mobility_library",
+    "flat_frag_start_idx",
+    "flat_frag_stop_idx",
+    "proteins",
+    "genes",
+    "sequence",
+    "mods",
+    "mod_sites",
+    "mod_seq_hash",
+    "mod_seq_charge_hash",
+    "nAA",
+    "i_0",
+    "i_1",
+    "i_2",
+    "i_3",
+]
+
+
+@dataclass
+class ScoringConfig:
+    """(reference: alphadia/search/scoring/config.py CandidateScoringConfig)"""
+
+    precursor_mz_tolerance: float = 10.0
+    fragment_mz_tolerance: float = 15.0
+    top_k_fragments: int = 12
+    top_k_isotopes: int = 3
+    exclude_shared_ions: bool = True
+    quant_window: int = 3
+    quant_all: bool = True
+    experimental_xic: bool = True
+    collect_fragments: bool = True
+    batch_size: int = 2048
+    gather_slab: int = 32
+    max_ms2_obs: int = 2
+    max_ms1_obs: int = 1
+    quad_sigma: tuple = (0.2, 0.2)
+    quad_delta_mu: tuple = (0.0, 0.0)
+
+
+class CandidateScoring:
+    def __init__(
+        self,
+        dia_data: DiaData,
+        precursor_df: pd.DataFrame,
+        fragment_df: pd.DataFrame,
+        config: ScoringConfig | None = None,
+        rt_column: str = "rt_library",
+        precursor_mz_column: str = "mz_library",
+        fragment_mz_column: str = "mz_library",
+    ):
+        self.dia = dia_data
+        self.precursor_df = precursor_df.reset_index(drop=True)
+        self.fragment_df = fragment_df
+        self.config = config or ScoringConfig()
+        self.rt_column = rt_column
+        self.precursor_mz_column = precursor_mz_column
+        self.fragment_mz_column = fragment_mz_column
+
+    # ------------------------------------------------------------------
+    def _candidate_arrays(self, cand: pd.DataFrame):
+        """Vectorized batch-array assembly for all candidates."""
+        cfg = self.config
+        dia = self.dia
+        prec = self.precursor_df
+        frag = self.fragment_df
+
+        row_of = pd.Series(
+            np.arange(len(prec)), index=prec["precursor_idx"].to_numpy()
+        )
+        rows = row_of.loc[cand["precursor_idx"].to_numpy()].to_numpy()
+
+        mono_mz = prec[self.precursor_mz_column].to_numpy(np.float32)[rows]
+        charge = prec["charge"].to_numpy(np.int32)[rows]
+
+        KI = cfg.top_k_isotopes
+        iso_cols = [c for c in (f"i_{k}" for k in range(KI)) if c in prec.columns]
+        if iso_cols:
+            iso_int = prec[iso_cols].to_numpy(np.float32)[rows]
+            if iso_int.shape[1] < KI:
+                iso_int = np.pad(iso_int, ((0, 0), (0, KI - iso_int.shape[1])))
+        else:
+            iso_int = np.tile(
+                np.array([[1.0, 0.5, 0.25]], np.float32)[:, :KI], (len(rows), 1)
+            )
+        iso_mz = (
+            mono_mz[:, None]
+            + np.arange(KI, dtype=np.float32)[None, :] * MASS_NEUTRON_AVG / charge[:, None]
+        ).astype(np.float32)
+
+        # fragments: same selection semantics as CandidateSelection
+        starts = prec["flat_frag_start_idx"].to_numpy(np.int64)[rows]
+        stops = prec["flat_frag_stop_idx"].to_numpy(np.int64)[rows]
+        max_len = max(int((stops - starts).max()) if len(rows) else 1, cfg.top_k_fragments)
+        k_idx = starts[:, None] + np.arange(max_len)[None, :]
+        in_range = k_idx < stops[:, None]
+        k_idx = np.minimum(k_idx, max(len(frag) - 1, 0))
+        fmz = frag[self.fragment_mz_column].to_numpy(np.float32)[k_idx]
+        fint = frag["intensity"].to_numpy(np.float32)[k_idx]
+        fcard = frag["cardinality"].to_numpy()[k_idx]
+        ftype = frag["type"].to_numpy(np.int32)[k_idx]
+        fpos = frag["position"].to_numpy(np.int32)[k_idx]
+        fnum = frag["number"].to_numpy(np.int32)[k_idx]
+        fch = frag["charge"].to_numpy(np.int32)[k_idx]
+        floss = frag["loss_type"].to_numpy(np.int32)[k_idx]
+        valid = in_range
+        if cfg.exclude_shared_ions:
+            valid &= fcard <= 1
+        KF = cfg.top_k_fragments
+        order = np.argsort(np.where(valid, fint, -1.0), axis=1, kind="stable")[:, ::-1][
+            :, :KF
+        ]
+
+        def takef(a):
+            return np.take_along_axis(a, order, axis=1)
+
+        sel_valid = takef(valid)
+        out = {
+            "frag_mz": np.where(sel_valid, takef(fmz), 0.0).astype(np.float32),
+            "frag_valid": sel_valid,
+            "frag_intensity": np.where(sel_valid, takef(fint), 0.0).astype(np.float32),
+            "frag_type": takef(ftype),
+            "frag_position": takef(fpos),
+            "frag_number": takef(fnum),
+            "frag_charge": takef(fch),
+            "frag_loss_type": takef(floss),
+            "frag_mz_library": np.where(
+                sel_valid,
+                np.take_along_axis(
+                    frag["mz_library"].to_numpy(np.float32)[k_idx], order, axis=1
+                ),
+                0.0,
+            ).astype(np.float32),
+        }
+
+        # ms2/ms1 slots + quad windows
+        win_lo_all = dia.cycle[0, :, 0, 0].astype(np.float32)
+        win_hi_all = dia.cycle[0, :, 0, 1].astype(np.float32)
+        is_ms2 = win_lo_all >= 0
+        iso_hi = iso_mz[:, -1]
+        match2 = (
+            is_ms2[None, :]
+            & (win_hi_all[None, :] > mono_mz[:, None])
+            & (win_lo_all[None, :] < iso_hi[:, None])
+        )
+        from alphadia_tpu.search.selection import _first_k_true
+
+        ms2_slots = _first_k_true(match2, cfg.max_ms2_obs)
+        slot_safe = np.clip(ms2_slots, 0, len(win_lo_all) - 1)
+        win_lo = np.where(ms2_slots >= 0, win_lo_all[slot_safe], 1e7).astype(np.float32)
+        win_hi = np.where(ms2_slots >= 0, win_hi_all[slot_safe], 1e7 + 1).astype(
+            np.float32
+        )
+        ms1_all = np.nonzero(~is_ms2)[0][: cfg.max_ms1_obs]
+        if dia.has_ms1 and len(ms1_all):
+            ms1_slots = np.broadcast_to(
+                ms1_all.astype(np.int32), (len(rows), len(ms1_all))
+            ).copy()
+        else:
+            ms1_slots = np.full((len(rows), 1), -1, np.int32)
+
+        frame_center = cand["frame_center"].to_numpy(np.int64).astype(np.int32)
+        frame_start = cand["frame_start"].to_numpy(np.int64).astype(np.int32)
+        frame_stop = cand["frame_stop"].to_numpy(np.int64).astype(np.int32)
+        half = np.maximum(frame_center - frame_start, frame_stop - frame_center)
+        W = int(ceil_to_multiple(max(2 * int(half.max()) + 1, 16), 8))
+
+        out.update(
+            {
+                "rows": rows,
+                "iso_mz": iso_mz,
+                "iso_intensity": iso_int,
+                "ms2_slot": ms2_slots.astype(np.int32),
+                "ms1_slot": ms1_slots.astype(np.int32),
+                "win_lo": win_lo,
+                "win_hi": win_hi,
+                "frame_center": frame_center,
+                "frame_start": frame_start,
+                "frame_stop": frame_stop,
+                "window_len": W,
+            }
+        )
+        return out
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self, candidates_df: pd.DataFrame, thread_count: int | None = None
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Score all candidates. Returns (psm_features_df, fragment_df)."""
+        cfg = self.config
+        dia = self.dia
+        cand = candidates_df.reset_index(drop=True)
+        if len(cand) == 0:
+            return _empty_psm_df(), _empty_fragment_df()
+
+        arrays = self._candidate_arrays(cand)
+        W = arrays["window_len"]
+        dev = dia.device_arrays()
+        static_kw = dict(
+            n_cycles=dia.n_cycles,
+            n_bins=dia.bin_start.shape[-1] - 1,
+            bin_mz_min=dia.bin_mz_min,
+            bin_width=dia.coarse_bin_width,
+            slab=cfg.gather_slab,
+            window_len=W,
+            quant_window=cfg.quant_window,
+            quant_all=cfg.quant_all,
+            experimental_xic=cfg.experimental_xic,
+        )
+
+        n = len(cand)
+        Bsz = cfg.batch_size
+        feat_rows = []
+        valid_rows = []
+        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid")}
+        for b0 in range(0, n, Bsz):
+            b1 = min(b0 + Bsz, n)
+            pad = Bsz - (b1 - b0)
+
+            def _pad(a):
+                sl = a[b0:b1]
+                if pad:
+                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                return sl
+
+            features, valid, frag_out = score_candidates_batch(
+                dev["peak_mz"],
+                dev["peak_intensity"],
+                dev["bin_start"],
+                dev["cycle_rt"],
+                _pad(arrays["frag_mz"]),
+                _pad(arrays["frag_valid"]),
+                _pad(arrays["frag_intensity"]),
+                _pad(arrays["frag_type"]),
+                _pad(arrays["frag_position"]),
+                _pad(arrays["iso_mz"]),
+                _pad(arrays["iso_intensity"]),
+                _pad(arrays["ms2_slot"]),
+                _pad(arrays["ms1_slot"]),
+                _pad(arrays["win_lo"]),
+                _pad(arrays["win_hi"]),
+                np.asarray(cfg.quad_sigma, np.float32),
+                np.asarray(cfg.quad_delta_mu, np.float32),
+                _pad(arrays["frame_center"]),
+                _pad(arrays["frame_start"]),
+                _pad(arrays["frame_stop"]),
+                np.float32(cfg.fragment_mz_tolerance),
+                np.float32(cfg.precursor_mz_tolerance),
+                **static_kw,
+            )
+            take = Bsz - pad
+            feat_rows.append(np.asarray(features)[:take])
+            valid_rows.append(np.asarray(valid)[:take])
+            for k in frag_out_rows:
+                frag_out_rows[k].append(np.asarray(frag_out[k])[:take])
+
+        features = np.concatenate(feat_rows)
+        valid = np.concatenate(valid_rows)
+        frag_out = {k: np.concatenate(v) for k, v in frag_out_rows.items()}
+
+        psm_df = pd.DataFrame(features, columns=FEATURE_COLUMNS)
+        psm_df["precursor_idx"] = cand["precursor_idx"].to_numpy()
+        psm_df["rank"] = cand["rank"].to_numpy()
+        psm_df["score"] = cand["score"].to_numpy() if "score" in cand.columns else 0.0
+        for col in ("scan_center", "scan_start", "scan_stop", "frame_center", "frame_start", "frame_stop"):
+            if col in cand.columns:
+                psm_df[col] = cand[col].to_numpy()
+
+        # merge precursor metadata
+        prec = self.precursor_df
+        carry = [c for c in PRECURSOR_CARRY_COLUMNS if c in prec.columns]
+        rows = arrays["rows"]
+        for c in carry:
+            psm_df[c] = prec[c].to_numpy()[rows]
+
+        rt_ref = prec[self.rt_column].to_numpy(np.float32)[rows]
+        psm_df["delta_rt"] = psm_df["rt_observed"] - rt_ref
+        if "sequence" in psm_df.columns:
+            seqs = psm_df["sequence"].astype(str)
+            psm_df["n_K"] = seqs.str.count("K").astype(np.float32)
+            psm_df["n_R"] = seqs.str.count("R").astype(np.float32)
+            psm_df["n_P"] = seqs.str.count("P").astype(np.float32)
+
+        psm_df = psm_df[valid].reset_index(drop=True)
+
+        # fragment output frame
+        fragment_df = _empty_fragment_df()
+        if cfg.collect_fragments:
+            keep_rows = np.nonzero(valid)[0]
+            fv = (frag_out["valid"] & arrays["frag_valid"])[keep_rows]
+            rr, cc = np.nonzero(fv)
+            sel = (keep_rows[rr], cc)
+            fragment_df = pd.DataFrame(
+                {
+                    "precursor_idx": cand["precursor_idx"].to_numpy()[keep_rows][rr],
+                    "rank": cand["rank"].to_numpy()[keep_rows][rr],
+                    "mz_library": arrays["frag_mz_library"][sel],
+                    "mz": arrays["frag_mz"][sel],
+                    "mz_observed": frag_out["mz_observed"][sel],
+                    "height": frag_out["height"][sel],
+                    "intensity": frag_out["intensity"][sel],
+                    "mass_error": frag_out["mass_error"][sel],
+                    "correlation": frag_out["correlation"][sel],
+                    "position": arrays["frag_position"][sel].astype(np.uint8),
+                    "number": arrays["frag_number"][sel].astype(np.uint8),
+                    "type": arrays["frag_type"][sel].astype(np.uint8),
+                    "charge": arrays["frag_charge"][sel].astype(np.uint8),
+                    "loss_type": arrays["frag_loss_type"][sel].astype(np.uint8),
+                }
+            )
+
+        logger.info(
+            f"Candidate scoring: {valid.sum()}/{n} candidates scored "
+            f"(window {W} cycles)"
+        )
+        return psm_df, fragment_df
+
+
+def _empty_psm_df() -> pd.DataFrame:
+    return pd.DataFrame(columns=FEATURE_COLUMNS + ["precursor_idx", "rank", "score"])
+
+
+def _empty_fragment_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        columns=[
+            "precursor_idx",
+            "rank",
+            "mz_library",
+            "mz",
+            "mz_observed",
+            "height",
+            "intensity",
+            "mass_error",
+            "correlation",
+            "position",
+            "number",
+            "type",
+            "charge",
+            "loss_type",
+        ]
+    )

@@ -1,0 +1,152 @@
+"""Regression models for property calibration.
+
+(reference: alphadia/calibration/models.py:24-364 ``LOESSRegression`` —
+same behavior: n_kernels local polynomial fits blended by tricubic weights,
+kernel placement uniform over the x-range or by data density, open-ended
+edge kernels for extrapolation, 0.1/99.9-percentile outlier trim, automatic
+reduction of n_kernels / polynomial degree for small data.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.linear_model import LinearRegression
+from sklearn.pipeline import Pipeline
+from sklearn.preprocessing import PolynomialFeatures
+
+
+def construct_polynomial_regression(degree: int = 2) -> Pipeline:
+    return Pipeline(
+        [
+            ("poly", PolynomialFeatures(degree=degree, include_bias=True)),
+            ("linear", LinearRegression(fit_intercept=False)),
+        ]
+    )
+
+
+def _tricubic(u: np.ndarray) -> np.ndarray:
+    """Tricubic kernel on |u| <= 1, zero outside."""
+    a = np.clip(np.abs(u), 0.0, 1.0)
+    w = (1 - a**3) ** 3
+    return np.where(np.abs(u) <= 1.0, w, 0.0)
+
+
+class LOESSRegression:
+    """Locally weighted polynomial regression, sklearn-style fit/predict."""
+
+    def __init__(
+        self,
+        n_kernels: int = 6,
+        polynomial_degree: int = 1,
+        uniform: bool = False,
+    ):
+        self.n_kernels = n_kernels
+        self.polynomial_degree = polynomial_degree
+        self.uniform = uniform
+        self.centers: np.ndarray | None = None
+        self.halfwidths: np.ndarray | None = None
+        self.beta: np.ndarray | None = None
+
+    # ------------------------------------------------------------------
+    def _design(self, x: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [x ** d for d in range(self.polynomial_degree + 1)], axis=1
+        )
+
+    def _weights(self, x: np.ndarray) -> np.ndarray:
+        """[n, K] blend weights; edge kernels open-ended; rows sum to 1."""
+        K = len(self.centers)
+        u = (x[:, None] - self.centers[None, :]) / np.maximum(
+            self.halfwidths[None, :], 1e-12
+        )
+        w = _tricubic(u)
+        # open edges: first kernel covers everything left, last everything right
+        w[:, 0] = np.where(x <= self.centers[0], 1.0, w[:, 0])
+        w[:, -1] = np.where(x >= self.centers[-1], 1.0, w[:, -1])
+        s = w.sum(axis=1, keepdims=True)
+        # fall back to nearest kernel where all weights vanish
+        nearest = np.argmin(np.abs(u), axis=1)
+        empty = s[:, 0] <= 0
+        if empty.any():
+            w[empty] = 0.0
+            w[empty, nearest[empty]] = 1.0
+            s = w.sum(axis=1, keepdims=True)
+        return w / s
+
+    # ------------------------------------------------------------------
+    def fit(self, x: np.ndarray, y: np.ndarray) -> "LOESSRegression":
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        if len(x) < 2:
+            raise ValueError("At least two datapoints required for fitting.")
+
+        # reduce complexity for small data (reference behavior)
+        dof = (1 + self.polynomial_degree) * self.n_kernels
+        if len(x) < dof:
+            self.n_kernels = max(len(x) // (1 + self.polynomial_degree), 1)
+        dof = (1 + self.polynomial_degree) * self.n_kernels
+        if len(x) < dof:
+            self.polynomial_degree = max(len(x) - 1, 0)
+
+        # outlier trim (only meaningful with enough data)
+        if len(x) >= 50:
+            lo, hi = np.percentile(x, [0.1, 99.9])
+            mask = (x >= lo) & (x <= hi)
+            if mask.sum() >= 2:
+                x, y = x[mask], y[mask]
+
+        order = np.argsort(x)
+        xs = x[order]
+        K = self.n_kernels
+
+        if self.uniform:
+            edges = np.linspace(xs[0], xs[-1], 2 * K + 1)
+            self.centers = edges[1::2]
+            self.halfwidths = np.maximum(edges[2::2] - self.centers, 1e-12)
+            counts = np.searchsorted(xs, edges[2::2]) - np.searchsorted(xs, edges[::2][:-1])
+            if np.any(counts < (1 + self.polynomial_degree)):
+                self._place_by_density(xs)
+        else:
+            self._place_by_density(xs)
+
+        w = self._weights(x)  # [n, K]
+        X = self._design(x)  # [n, D]
+        D = X.shape[1]
+        self.beta = np.zeros((D, K))
+        for k in range(K):
+            wk = w[:, k]
+            A = (X.T * wk) @ X
+            try:
+                loadings = np.linalg.solve(A, X.T)
+            except np.linalg.LinAlgError:
+                loadings = np.linalg.pinv(A) @ X.T
+            self.beta[:, k] = (loadings * wk) @ y
+        return self
+
+    def _place_by_density(self, xs: np.ndarray) -> None:
+        """Overlapping kernels each holding ~2/(K+1) of the data."""
+        K = self.n_kernels
+        n = len(xs)
+        span = max(int(np.ceil(2 * n / (K + 1))), 2)
+        starts = np.linspace(0, n - span, K).astype(int)
+        self.centers = np.zeros(K)
+        self.halfwidths = np.zeros(K)
+        for k, s in enumerate(starts):
+            seg = xs[s : s + span]
+            self.centers[k] = seg.mean()
+            self.halfwidths[k] = max(np.max(np.abs(seg - self.centers[k])), 1e-12)
+
+    # ------------------------------------------------------------------
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        w = self._weights(x)
+        X = self._design(x)
+        per_kernel = X @ self.beta  # [n, K]
+        return (per_kernel * w).sum(axis=1)
+
+    def get_params(self, deep: bool = True) -> dict:
+        return {
+            "n_kernels": self.n_kernels,
+            "polynomial_degree": self.polynomial_degree,
+            "uniform": self.uniform,
+        }

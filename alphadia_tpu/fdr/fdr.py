@@ -1,0 +1,122 @@
+"""FDR orchestration: classifier fit, q-values, competition.
+
+(reference: alphadia/fdr/fdr.py:25-297 ``perform_fdr`` — same flow:
+80/20 train split -> fit NN -> proba -> q-values -> optional fragment
+competition below the 10% heuristic -> competitive best-per-group ->
+recompute q-values.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.exceptions import TooFewPsmError
+from alphadia_tpu.fdr.fragcomp import FragmentCompetition
+from alphadia_tpu.fdr.qvalues import get_q_values, keep_best
+from alphadia_tpu.reporting import logger
+
+MIN_PSM_FOR_CLASSIFICATION = 20
+
+
+def perform_fdr(
+    classifier,
+    available_columns: list[str],
+    df_target: pd.DataFrame,
+    df_decoy: pd.DataFrame,
+    *,
+    competitive: bool = False,
+    group_channels: bool = True,
+    df_fragments: pd.DataFrame | None = None,
+    dia_cycle: np.ndarray | None = None,
+    fdr_heuristic: float = 0.1,
+    random_state: int | None = None,
+    figure_path: str | None = None,
+) -> pd.DataFrame:
+    """Returns the PSM df with `proba` and `qval` columns added."""
+    df_target = df_target.dropna(subset=available_columns)
+    df_decoy = df_decoy.dropna(subset=available_columns)
+
+    n_t, n_d = len(df_target), len(df_decoy)
+    if n_t + n_d and abs(n_t - n_d) / max((n_t + n_d) / 2, 1) > 0.1:
+        logger.warning(
+            f"FDR: target/decoy imbalance ({n_t} vs {n_d}); q-values may be inaccurate"
+        )
+
+    X = np.concatenate(
+        [
+            df_target[available_columns].to_numpy(np.float32),
+            df_decoy[available_columns].to_numpy(np.float32),
+        ]
+    )
+    y = np.concatenate([np.zeros(n_t), np.ones(n_d)]).astype(np.float32)
+
+    psm_df = pd.concat([df_target, df_decoy], ignore_index=True)
+    psm_df["_decoy"] = y
+
+    if len(X) < MIN_PSM_FOR_CLASSIFICATION:
+        logger.warning("Too few PSMs for FDR classification; assigning qval=1")
+        psm_df["qval"] = 1.0
+        psm_df["proba"] = 1.0
+        return psm_df
+
+    rng = np.random.default_rng(random_state)
+    perm = rng.permutation(len(X))
+    n_train = int(len(X) * 0.8)
+    train_idx = perm[:n_train]
+    classifier.fit(X[train_idx], y[train_idx])
+
+    psm_df["proba"] = classifier.predict_proba(X)[:, 1]
+    psm_df.sort_values(["proba", "precursor_idx"], ascending=True, inplace=True)
+    psm_df = get_q_values(psm_df, "proba", "_decoy")
+
+    group_columns = (
+        (["elution_group_idx", "channel"] if group_channels else ["elution_group_idx"])
+        if competitive
+        else ["precursor_idx"]
+    )
+
+    if (
+        df_fragments is not None
+        and len(df_fragments)
+        and dia_cycle is not None
+        and dia_cycle.shape[2] <= 2
+    ):
+        start_idx = psm_df["qval"].searchsorted(fdr_heuristic, side="left")
+        if start_idx == 0:
+            start_idx = len(psm_df)
+        competition = FragmentCompetition()
+        psm_df = competition(psm_df.iloc[:start_idx], df_fragments, dia_cycle)
+
+    psm_df = keep_best(psm_df, group_columns=group_columns)
+    psm_df = get_q_values(psm_df, "proba", "_decoy")
+
+    if figure_path is not None:
+        _plot_fdr(psm_df, figure_path)
+
+    return psm_df
+
+
+def _plot_fdr(psm_df: pd.DataFrame, figure_path: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(9, 3.5))
+        t = psm_df[psm_df["_decoy"] == 0]["proba"]
+        d = psm_df[psm_df["_decoy"] == 1]["proba"]
+        axes[0].hist([t, d], bins=50, label=["target", "decoy"], histtype="step")
+        axes[0].set_xlabel("proba")
+        axes[0].legend()
+        qv = np.sort(psm_df[psm_df["_decoy"] == 0]["qval"].to_numpy())
+        axes[1].plot(qv, np.arange(len(qv)))
+        axes[1].set_xlim(0, 0.05)
+        axes[1].set_xlabel("q-value")
+        axes[1].set_ylabel("# targets")
+        fig.tight_layout()
+        fig.savefig(figure_path, dpi=120)
+        plt.close(fig)
+    except Exception as e:  # pragma: no cover
+        logger.warning(f"could not plot FDR figure: {e}")

@@ -1,0 +1,121 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from alphadia_tpu.fdr import get_q_values, keep_best, perform_fdr
+from alphadia_tpu.fdr.fragcomp import FragmentCompetition
+from alphadia_tpu.fdr.qvalues import fdr_to_q_values
+from alphadia_tpu.models.classifier import BinaryClassifier
+
+
+def test_fdr_to_q_values():
+    fdr = np.array([0.1, 0.05, 0.3, 0.2, 0.4])
+    np.testing.assert_allclose(fdr_to_q_values(fdr), [0.05, 0.05, 0.2, 0.2, 0.4])
+
+
+def test_get_q_values_two_gaussians():
+    rng = np.random.default_rng(0)
+    n = 2000
+    # targets score lower (better), decoys higher
+    proba = np.concatenate([rng.normal(0.3, 0.1, n), rng.normal(0.7, 0.1, n)])
+    decoy = np.concatenate([np.zeros(n), np.ones(n)])
+    df = pd.DataFrame(
+        {"proba": proba, "_decoy": decoy, "precursor_idx": np.arange(2 * n)}
+    )
+    out = get_q_values(df)
+    sub = out[(out["_decoy"] == 0) & (out["qval"] < 0.01)]
+    # most targets should survive at 1% FDR given good separation
+    assert len(sub) > n * 0.5
+    # q-values monotone in proba order
+    assert (np.diff(out["qval"].to_numpy()) >= -1e-12).all()
+
+
+def test_keep_best():
+    df = pd.DataFrame(
+        {
+            "proba": [0.1, 0.5, 0.2, 0.9],
+            "channel": [0, 0, 0, 0],
+            "precursor_idx": [1, 1, 2, 2],
+        }
+    )
+    out = keep_best(df)
+    assert len(out) == 2
+    assert set(out["proba"]) == {0.1, 0.2}
+
+
+def _synthetic_psm(n=3000, n_features=10, seed=1, separation=1.5):
+    rng = np.random.default_rng(seed)
+    X_t = rng.normal(separation, 1.0, (n, n_features))
+    X_d = rng.normal(0.0, 1.0, (n, n_features))
+    cols = [f"f{i}" for i in range(n_features)]
+    t = pd.DataFrame(X_t, columns=cols)
+    d = pd.DataFrame(X_d, columns=cols)
+    for df, dec in ((t, 0), (d, 1)):
+        df["precursor_idx"] = np.arange(len(df)) * 2 + dec
+        df["elution_group_idx"] = np.arange(len(df))
+        df["channel"] = 0
+    return t, d, cols
+
+
+def test_classifier_separates():
+    t, d, cols = _synthetic_psm()
+    clf = BinaryClassifier(random_state=0, epochs=5)
+    X = np.concatenate([t[cols], d[cols]])
+    y = np.concatenate([np.zeros(len(t)), np.ones(len(d))])
+    clf.fit(X, y)
+    proba = clf.predict_proba(X)[:, 1]
+    assert proba.shape == (len(X),)
+    auc_proxy = proba[len(t) :].mean() - proba[: len(t)].mean()
+    assert auc_proxy > 0.5  # decoys score much higher
+
+    # round trip through state dict
+    clf2 = BinaryClassifier.from_state_dict(clf.to_state_dict())
+    np.testing.assert_allclose(
+        clf2.predict_proba(X[:64]), clf.predict_proba(X[:64]), atol=1e-5
+    )
+
+
+def test_perform_fdr_end_to_end():
+    t, d, cols = _synthetic_psm(n=2000)
+    clf = BinaryClassifier(random_state=0, epochs=5)
+    out = perform_fdr(
+        clf, cols, t, d, competitive=True, random_state=0
+    )
+    assert {"qval", "proba"} <= set(out.columns)
+    n_pass = ((out["qval"] < 0.01) & (out["_decoy"] == 0)).sum()
+    assert n_pass > 1000
+    # decoys at 1% FDR should be ~1% of targets
+    n_decoy_pass = ((out["qval"] < 0.01) & (out["_decoy"] == 1)).sum()
+    assert n_decoy_pass <= max(0.05 * n_pass, 30)
+
+
+def test_perform_fdr_too_few():
+    t, d, cols = _synthetic_psm(n=5)
+    clf = BinaryClassifier(random_state=0)
+    out = perform_fdr(clf, cols, t, d)
+    assert (out["qval"] == 1.0).all()
+
+
+def test_fragment_competition():
+    # two PSMs in same window, same RT, sharing >=3 fragments: worse one dies
+    cycle = np.zeros((1, 3, 1, 2))
+    cycle[0, 0, 0] = [-1, -1]
+    cycle[0, 1, 0] = [400, 500]
+    cycle[0, 2, 0] = [500, 600]
+    psm = pd.DataFrame(
+        {
+            "precursor_idx": [1, 2, 3],
+            "rank": [0, 0, 0],
+            "proba": [0.1, 0.5, 0.2],
+            "rt_observed": [100.0, 100.5, 300.0],
+            "mz_library": [450.0, 451.0, 450.5],
+        }
+    )
+    frag_rows = []
+    shared = [200.0, 300.0, 400.0, 500.0]
+    for pid, mzs in [(1, shared), (2, shared), (3, [250.0, 350.0, 450.0, 550.0])]:
+        for mz in mzs:
+            frag_rows.append({"precursor_idx": pid, "rank": 0, "mz": mz})
+    frag = pd.DataFrame(frag_rows)
+    out = FragmentCompetition()(psm, frag, cycle)
+    assert set(out["precursor_idx"]) == {1, 3}

@@ -1,0 +1,99 @@
+"""Versioned FDR classifier store.
+
+(reference: alphadia/workflow/managers/fdr_manager.py:54-348 — keeps a
+stack of trained classifiers, one per fit_predict call; `version=-1` trains
+a new classifier warm-started from the latest; a specific version scores
+without retraining; decoy strategies precursor / precursor_channel_wise /
+channel.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.fdr.fdr import perform_fdr
+from alphadia_tpu.models.classifier import BinaryClassifier
+from alphadia_tpu.reporting import logger
+from alphadia_tpu.workflow.managers.base import BaseManager
+
+
+class FDRManager(BaseManager):
+    def __init__(
+        self,
+        feature_columns: list[str],
+        classifier_base: BinaryClassifier | None = None,
+        path=None,
+        load_from_file=False,
+        dia_cycle: np.ndarray | None = None,
+        config=None,
+        figure_path: str | None = None,
+        random_state: int | None = None,
+    ):
+        super().__init__(path, load_from_file)
+        self.feature_columns = feature_columns
+        self.classifier_base = classifier_base or BinaryClassifier()
+        self.classifier_store: list[BinaryClassifier] = []
+        self.dia_cycle = dia_cycle
+        self.config = config
+        self.figure_path = figure_path
+        self._rng = np.random.default_rng(random_state)
+
+    @property
+    def current_version(self) -> int:
+        return len(self.classifier_store) - 1
+
+    # ------------------------------------------------------------------
+    def fit_predict(
+        self,
+        features_df: pd.DataFrame,
+        decoy_strategy: str = "precursor",
+        competitive: bool = True,
+        df_fragments: pd.DataFrame | None = None,
+        version: int = -1,
+    ) -> pd.DataFrame:
+        available = [c for c in self.feature_columns if c in features_df.columns]
+        if decoy_strategy in ("precursor", "precursor_channel_wise"):
+            df_target = features_df[features_df["decoy"] == 0]
+            df_decoy = features_df[features_df["decoy"] == 1]
+        else:
+            raise NotImplementedError(f"decoy strategy {decoy_strategy}")
+
+        classifier = self._get_classifier(version)
+        psm_df = perform_fdr(
+            classifier,
+            available,
+            df_target.copy(),
+            df_decoy.copy(),
+            competitive=competitive,
+            group_channels=decoy_strategy == "precursor",
+            df_fragments=df_fragments,
+            dia_cycle=self.dia_cycle,
+            random_state=int(self._rng.integers(0, 2**31)),
+            figure_path=self.figure_path,
+        )
+        if version == -1:
+            self.classifier_store.append(classifier)
+            logger.info(f"FDR classifier version {self.current_version} trained")
+        return psm_df
+
+    def _get_classifier(self, version: int) -> BinaryClassifier:
+        if version >= 0 and version < len(self.classifier_store):
+            return self.classifier_store[version]
+        # new classifier, warm started from the latest fitted one
+        if self.classifier_store and self.classifier_store[-1].fitted:
+            clf = BinaryClassifier.from_state_dict(
+                self.classifier_store[-1].to_state_dict()
+            )
+        else:
+            clf = BinaryClassifier.from_state_dict(self.classifier_base.to_state_dict())
+        return clf
+
+    def predict(self, features_df: pd.DataFrame, version: int = -1) -> pd.DataFrame:
+        """Score with an existing classifier without retraining."""
+        clf = self.classifier_store[version]
+        available = [c for c in self.feature_columns if c in features_df.columns]
+        X = features_df[available].to_numpy(np.float32)
+        out = features_df.copy()
+        out["proba"] = clf.predict_proba(X)[:, 1]
+        return out

@@ -1,0 +1,97 @@
+"""Extraction handler: wires optimization state into the device kernels.
+
+(reference: alphadia/workflow/peptidecentric/extraction_handler.py:70-705 —
+backend factory + select/score/quantify wrappers; single JAX backend here,
+so select_candidates -> score_and_quantify_candidates with the NG-style
+score-cutoff filter applied after selection.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.rawdata import DiaData
+from alphadia_tpu.reporting import logger
+from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
+from alphadia_tpu.search.selection import CandidateSelection, SelectionConfig
+
+
+class ExtractionHandler:
+    def __init__(self, config, optimization_manager, column_name_handler):
+        self._config = config
+        self._om = optimization_manager
+        self._cols = column_name_handler
+
+    @classmethod
+    def create_handler(cls, config, optimization_manager, column_name_handler):
+        return cls(config, optimization_manager, column_name_handler)
+
+    # ------------------------------------------------------------------
+    def _selection_config(self) -> SelectionConfig:
+        cfg = self._config
+        return SelectionConfig(
+            rt_tolerance=self._om.rt_error,
+            precursor_mz_tolerance=self._om.ms1_error,
+            fragment_mz_tolerance=self._om.ms2_error,
+            candidate_count=int(self._om.num_candidates),
+            top_k_fragments=cfg["search"]["top_k_fragments_selection"],
+            exclude_shared_ions=cfg["search"]["exclude_shared_ions"],
+            fwhm_rt=self._om.fwhm_rt,
+            batch_size=cfg["tpu"]["selection_batch"],
+            gather_slab=cfg["tpu"]["gather_slab"],
+        )
+
+    def _scoring_config(self) -> ScoringConfig:
+        cfg = self._config
+        return ScoringConfig(
+            precursor_mz_tolerance=self._om.ms1_error,
+            fragment_mz_tolerance=self._om.ms2_error,
+            top_k_fragments=cfg["search"]["top_k_fragments_scoring"],
+            exclude_shared_ions=cfg["search"]["exclude_shared_ions"],
+            quant_window=cfg["search"]["quant_window"],
+            quant_all=cfg["search"]["quant_all"],
+            experimental_xic=cfg["search"]["experimental_xic"],
+            batch_size=cfg["tpu"]["scoring_batch"],
+            gather_slab=cfg["tpu"]["gather_slab"],
+        )
+
+    # ------------------------------------------------------------------
+    def select_candidates(
+        self, dia_data: DiaData, lib, apply_cutoff: bool = False
+    ) -> pd.DataFrame:
+        selection = CandidateSelection(
+            dia_data,
+            lib.precursor_df,
+            lib.fragment_df,
+            self._selection_config(),
+            rt_column=self._cols.get_rt_column(),
+            precursor_mz_column=self._cols.get_precursor_mz_column(),
+            fragment_mz_column=self._cols.get_fragment_mz_column(),
+        )
+        candidates_df = selection()
+
+        if apply_cutoff and self._om.score_cutoff > 0:
+            n_before = len(candidates_df)
+            candidates_df = candidates_df[
+                candidates_df["score"] > self._om.score_cutoff
+            ].reset_index(drop=True)
+            logger.info(
+                f"Applied score cutoff {self._om.score_cutoff:.3f}: "
+                f"{len(candidates_df)}/{n_before} candidates retained"
+            )
+        return candidates_df
+
+    def score_and_quantify_candidates(
+        self, candidates_df: pd.DataFrame, dia_data: DiaData, lib
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        scoring = CandidateScoring(
+            dia_data,
+            lib.precursor_df,
+            lib.fragment_df,
+            self._scoring_config(),
+            rt_column=self._cols.get_rt_column(),
+            precursor_mz_column=self._cols.get_precursor_mz_column(),
+            fragment_mz_column=self._cols.get_fragment_mz_column(),
+        )
+        return scoring(candidates_df)

@@ -1,0 +1,154 @@
+"""Label-free quantification across runs.
+
+(reference: alphadia/outputtransform/quantification/ — QuantBuilder /
+FragmentQuantLoader accumulate per-run ``frag.parquet`` into an ion x run
+intensity matrix keyed by the packed ion hash (precursor_idx, number, type,
+charge, loss_type), filter ions by cross-run correlation, then run
+directLFQ normalization + protein-intensity estimation at the precursor /
+peptide / protein-group levels.)
+
+The external directlfq package is not available in this environment; the
+`directlfq_style` functions below implement the same two-stage scheme
+(sample shift normalization in log space, then per-group ion alignment and
+median profile estimation) self-contained in numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.reporting import logger
+
+
+def ion_hash(precursor_idx, number, ftype, charge, loss_type) -> np.ndarray:
+    """Pack ion identity into int64 (reference quant_builder.py:53-81)."""
+    return (
+        np.asarray(precursor_idx, dtype=np.int64)
+        + (np.asarray(number, dtype=np.int64) << 32)
+        + (np.asarray(ftype, dtype=np.int64) << 40)
+        + (np.asarray(charge, dtype=np.int64) << 48)
+        + (np.asarray(loss_type, dtype=np.int64) << 56)
+    )
+
+
+def accumulate_frag_df(
+    run_frames: dict[str, pd.DataFrame],
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Build wide ion x run (intensity, correlation) matrices."""
+    intensity_frames, corr_frames = [], []
+    for run, df in run_frames.items():
+        h = ion_hash(
+            df["precursor_idx"], df["number"], df["type"], df["charge"], df["loss_type"]
+        )
+        base = pd.DataFrame(
+            {
+                "ion": h,
+                "precursor_idx": df["precursor_idx"].to_numpy(),
+                run: df["intensity"].to_numpy(),
+            }
+        ).drop_duplicates("ion")
+        intensity_frames.append(base.set_index(["ion", "precursor_idx"])[[run]])
+        corr_frames.append(
+            pd.DataFrame(
+                {"ion": h, "precursor_idx": df["precursor_idx"].to_numpy(), run: df["correlation"].to_numpy()}
+            )
+            .drop_duplicates("ion")
+            .set_index(["ion", "precursor_idx"])[[run]]
+        )
+    intensity_df = pd.concat(intensity_frames, axis=1).reset_index()
+    corr_df = pd.concat(corr_frames, axis=1).reset_index()
+    return intensity_df, corr_df
+
+
+def filter_frag_df(
+    intensity_df: pd.DataFrame,
+    corr_df: pd.DataFrame,
+    min_correlation: float = 0.5,
+    top_n: int = 3,
+    group_column: str = "precursor_idx",
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Keep ions in the top-n by mean correlation within their group, OR
+    above min_correlation (reference quant_builder.py:132-183)."""
+    run_cols = [c for c in corr_df.columns if c not in ("ion", group_column, "precursor_idx")]
+    mean_corr = corr_df[run_cols].mean(axis=1, skipna=True)
+    rank = mean_corr.groupby(corr_df[group_column]).rank(ascending=False, method="first")
+    mask = (rank <= top_n) | (mean_corr > min_correlation)
+    return intensity_df[mask.to_numpy()], corr_df[mask.to_numpy()]
+
+
+# ----------------------------------------------------------------------
+# directLFQ-style estimation
+# ----------------------------------------------------------------------
+def normalize_samples(log_mat: np.ndarray) -> np.ndarray:
+    """Shift each run (column) so pairwise median differences vanish
+    (anchor = first column with data)."""
+    n_runs = log_mat.shape[1]
+    shifts = np.zeros(n_runs)
+    ref = log_mat[:, 0]
+    for j in range(1, n_runs):
+        both = np.isfinite(ref) & np.isfinite(log_mat[:, j])
+        if both.sum() >= 2:
+            shifts[j] = np.nanmedian(ref[both] - log_mat[both, j])
+    return log_mat + shifts[None, :]
+
+
+def estimate_group_intensity(log_mat: np.ndarray) -> np.ndarray:
+    """Per-run group intensity from an ions x runs log2 matrix.
+
+    Ion offsets (row medians) are removed, the run profile is the column
+    median of aligned ions, and the absolute level anchors to the median
+    ion level — the directLFQ 'ion trace alignment' scheme.
+    """
+    if log_mat.size == 0:
+        return np.full(log_mat.shape[1], np.nan)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN rows are expected
+        row_med = np.nanmedian(log_mat, axis=1, keepdims=True)
+        centered = log_mat - row_med
+        profile = np.nanmedian(centered, axis=0)
+        level = np.nanmedian(row_med)
+    return profile + level
+
+
+def direct_lfq(
+    intensity_df: pd.DataFrame,
+    group_keys: pd.Series,
+    run_columns: list[str],
+    normalize: bool = True,
+    min_nonnan: int = 1,
+) -> pd.DataFrame:
+    """Compute per-group LFQ intensities for every run.
+
+    Parameters
+    ----------
+    intensity_df : wide ion x run frame (NaN = missing)
+    group_keys : group id per ion row (precursor hash / peptide hash / pg)
+    """
+    mat = intensity_df[run_columns].to_numpy(dtype=np.float64).copy()
+    mat[mat <= 0] = np.nan
+    log_mat = np.log2(mat)
+    if normalize and log_mat.shape[1] > 1:
+        log_mat = normalize_samples(log_mat)
+
+    out_rows = []
+    keys = group_keys.to_numpy()
+    codes, uniques = pd.factorize(group_keys)
+    order = np.argsort(codes, kind="stable")
+    sorted_keys = keys[order]
+    boundaries = np.nonzero(np.diff(codes[order]) != 0)[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    stops = np.concatenate([boundaries, [len(sorted_keys)]])
+    for a, b in zip(starts, stops):
+        rows = order[a:b]
+        sub = log_mat[rows]
+        est = estimate_group_intensity(sub)
+        n_ok = np.isfinite(est).sum()
+        if n_ok < min_nonnan:
+            continue
+        out_rows.append([sorted_keys[a], *np.power(2.0, est)])
+    out = pd.DataFrame(out_rows, columns=["group", *run_columns])
+    logger.info(f"LFQ: quantified {len(out)} groups over {len(run_columns)} runs")
+    return out

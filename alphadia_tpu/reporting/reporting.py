@@ -108,7 +108,9 @@ class JSONLBackend(Backend):
 
     def _emit(self, kind, name, value):
         if self._fh is None:
-            return
+            # lazily open so emits outside an explicit context still record
+            self._start = time.time()
+            self._fh = open(self.path, "a")
         now = time.time()
         rec = {
             "type": kind,

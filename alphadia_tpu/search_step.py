@@ -1,0 +1,194 @@
+"""Single search step: config merge, library build/load, per-file loop.
+
+(reference: alphadia/search_step.py — same responsibilities: layered
+config merge (default < user < cli < multistep extra, frozen_config.yaml
+snapshot), library build via the libtransform pipeline, per-raw-file loop
+with ``reuse_quant`` skip + error collection + ``fail_fast``, per-run
+``psm.parquet``/``frag.parquet``, then SearchPlanOutput aggregation.)
+"""
+
+from __future__ import annotations
+
+import traceback
+from pathlib import Path
+
+import numpy as np
+
+from alphadia_tpu.config import Config, load_default_config
+from alphadia_tpu.constants.keys import SearchStepFiles
+from alphadia_tpu.exceptions import CustomError, NoLibraryAvailableError
+from alphadia_tpu.library.decoy import DecoyGenerator
+from alphadia_tpu.library.flatten import (
+    FlattenLibrary,
+    InitFlatColumns,
+    LogFlatLibraryStats,
+)
+from alphadia_tpu.library.harmonize import (
+    AnnotateFasta,
+    IsotopeGenerator,
+    PrecursorInitializer,
+    RTNormalization,
+)
+from alphadia_tpu.library.loader import DynamicLoader
+from alphadia_tpu.library.pipeline import ProcessingPipeline
+from alphadia_tpu.library.speclib import SpecLibBase, SpecLibFlat
+from alphadia_tpu.outputs.search_plan_output import SearchPlanOutput
+from alphadia_tpu.reporting import init_logging, logger
+from alphadia_tpu.workflow.base import QUANT_FOLDER_NAME
+from alphadia_tpu.workflow.peptidecentric.peptidecentric import PeptideCentricWorkflow
+
+
+class SearchStep:
+    def __init__(
+        self,
+        output_folder: str,
+        config: dict | None = None,
+        cli_config: dict | None = None,
+        extra_config: dict | None = None,
+    ):
+        self.output_folder = Path(output_folder)
+        self.output_folder.mkdir(parents=True, exist_ok=True)
+        init_logging(self.output_folder)
+
+        self.config = load_default_config()
+        self.config.update_layers(
+            [
+                ("user", config or {}),
+                ("cli", cli_config or {}),
+                ("multistep", extra_config or {}),
+            ]
+        )
+        if not self.config["output_directory"]:
+            self.config["output_directory"] = str(self.output_folder)
+        self.config.to_yaml(self.output_folder / "frozen_config.yaml")
+
+        seed = self.config["general"]["random_state"]
+        if seed == -1:
+            seed = int(np.random.default_rng().integers(0, 2**31))
+            logger.info(f"Generated random state {seed}")
+        self._np_rng = np.random.default_rng(seed)
+
+        self.spectral_library: SpecLibFlat | None = None
+        self.errors: list[tuple[str, str]] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def raw_path_list(self) -> list[str]:
+        return list(self.config["raw_paths"] or [])
+
+    def load_library(self) -> SpecLibFlat:
+        """Build or load the spectral library.
+
+        (reference: search_step.py:257-393 — digest/predict when no library,
+        then harmonize + decoy + flatten pipelines.)
+        """
+        lib_path = self.config["library_path"]
+        fasta_paths = list(self.config["fasta_paths"] or [])
+        predict = self.config["library_prediction"]["enabled"]
+
+        if lib_path:
+            lib = DynamicLoader()(lib_path)
+        elif fasta_paths and predict:
+            from alphadia_tpu.library.digest import digest_fasta
+
+            lp = self.config["library_prediction"]
+            lib = digest_fasta(
+                fasta_paths,
+                enzyme=lp["enzyme"],
+                missed_cleavages=lp["missed_cleavages"],
+                fixed_modifications=lp["fixed_modifications"],
+                variable_modifications=lp["variable_modifications"],
+                max_var_mod_num=lp["max_var_mod_num"],
+                precursor_len=tuple(lp["precursor_len"]),
+                precursor_charge=tuple(lp["precursor_charge"]),
+                precursor_mz=tuple(lp["precursor_mz"]),
+            )
+        else:
+            raise NoLibraryAvailableError()
+
+        if isinstance(lib, SpecLibFlat):
+            logger.info("Flat library loaded as-is")
+            return lib
+
+        # harmonize
+        harmonize_steps = [PrecursorInitializer(self.config["library_loading"]["drop_decoys"])]
+        if fasta_paths and lib_path:
+            harmonize_steps.append(AnnotateFasta(fasta_paths))
+        if predict or lib.fragment_intensity_df is None or "rt" not in lib.precursor_df.columns:
+            from alphadia_tpu.models.prediction import SimplePrediction
+
+            lp = self.config["library_prediction"]
+            harmonize_steps.append(
+                SimplePrediction(
+                    fragment_types=tuple(lp["fragment_types"]),
+                    max_fragment_charge=lp["max_fragment_charge"],
+                )
+            )
+        harmonize_steps += [IsotopeGenerator(), RTNormalization()]
+        lib = ProcessingPipeline(harmonize_steps)(lib)
+
+        # decoys + flatten
+        lib = DecoyGenerator("diann")(lib)
+        if self.config["general"]["save_library"]:
+            lib.save_hdf(self.output_folder / "speclib.hdf")
+        flat = ProcessingPipeline(
+            [
+                FlattenLibrary(
+                    self.config["search"]["top_k_fragments_scoring"],
+                    self.config["search"]["min_fragment_intensity"],
+                ),
+                InitFlatColumns(),
+                LogFlatLibraryStats(),
+            ]
+        )(lib)
+        if self.config["general"]["save_flat_library"]:
+            flat.save_hdf(self.output_folder / "speclib.flat.hdf")
+        return flat
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        self.spectral_library = self.load_library()
+
+        quant_dir = Path(
+            self.config["quant_directory"]
+            or self.output_folder / QUANT_FOLDER_NAME
+        )
+        folder_list = []
+        for raw_path in self.raw_path_list:
+            raw_name = Path(raw_path).stem
+            run_folder = quant_dir / raw_name
+            folder_list.append(run_folder)
+
+            psm_path = run_folder / SearchStepFiles.PSM_FILE_NAME
+            if self.config["general"]["reuse_quant"] and psm_path.exists():
+                logger.log(25, f"Reusing quant for {raw_name}")
+                continue
+
+            try:
+                self._process_raw_file(raw_path, raw_name, quant_dir)
+            except CustomError as e:
+                self.errors.append((raw_name, e.error_code))
+                logger.error(f"{raw_name}: {e.error_code}: {e}")
+                if self.config["general"]["fail_fast"]:
+                    raise
+            except Exception as e:
+                self.errors.append((raw_name, str(e)))
+                logger.error(f"{raw_name} failed: {e}\n{traceback.format_exc()}")
+                if self.config["general"]["fail_fast"]:
+                    raise
+
+        output = SearchPlanOutput(self.config, self.output_folder)
+        output.build(folder_list, self.spectral_library)
+
+    # ------------------------------------------------------------------
+    def _process_raw_file(self, raw_path: str, raw_name: str, quant_dir: Path) -> None:
+        workflow = PeptideCentricWorkflow(
+            raw_name, self.config, quant_path=str(quant_dir)
+        )
+        workflow.load(raw_path, self.spectral_library.copy())
+        workflow.search_parameter_optimization()
+        psm_df, frag_df = workflow.extraction()
+
+        psm_df.to_parquet(workflow.path / SearchStepFiles.PSM_FILE_NAME, index=False)
+        frag_df.to_parquet(workflow.path / SearchStepFiles.FRAG_FILE_NAME, index=False)
+        workflow.dia_data.free_device()

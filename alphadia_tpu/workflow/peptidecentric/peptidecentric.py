@@ -48,6 +48,7 @@ class PeptideCentricWorkflow(WorkflowBase):
     # ------------------------------------------------------------------
     @use_timing_manager("load")
     def load(self, raw_path: str, spectral_library) -> None:
+        self.reporter.log_event("load", "start")
         super().load(raw_path, spectral_library)
 
         random_state = self.config["general"]["random_state"]
@@ -162,5 +163,7 @@ class PeptideCentricWorkflow(WorkflowBase):
             f"Extraction: {len(psm_df)} precursors at {fdr_cutoff:.0%} FDR, "
             f"{len(fragments_df)} fragments",
         )
+        self.reporter.log_metric("extraction.precursors", len(psm_df))
+        self.reporter.log_metric("extraction.fragments", len(fragments_df))
         self.timing_manager.save()
         return psm_df, fragments_df

@@ -74,7 +74,7 @@ def score_candidates_batch(
     # device data
     peak_mz,
     peak_intensity,
-    bin_start,
+    cell_start,
     cycle_rt,  # f32[n_cycles]
     # candidate batch
     frag_mz,  # f32[B, KF] library (calibrated) fragment m/z; 0 = pad
@@ -136,7 +136,7 @@ def score_candidates_batch(
     fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
     fmzq = jnp.broadcast_to(frag_mz[:, :, None], (B, KF, O2))
     d_frag_int, d_frag_mz = extract_xic(
-        peak_mz, peak_intensity, bin_start,
+        peak_mz, peak_intensity, cell_start,
         fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
         fragment_tol_ppm, cycle_start, **xic_kw,
     )
@@ -147,7 +147,7 @@ def score_candidates_batch(
     islot = jnp.broadcast_to(ms1_slot[:, None, :], (B, KI, O1))
     imzq = jnp.broadcast_to(iso_mz[:, :, None], (B, KI, O1))
     d_prec_int_o, d_prec_mz_o = extract_xic(
-        peak_mz, peak_intensity, bin_start,
+        peak_mz, peak_intensity, cell_start,
         islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
         precursor_tol_ppm, cycle_start, **xic_kw,
     )

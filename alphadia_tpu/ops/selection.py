@@ -59,7 +59,7 @@ def select_candidates_batch(
     # device data (DiaData.device_arrays())
     peak_mz,
     peak_intensity,
-    bin_start,
+    cell_start,
     # batch inputs
     frag_slot,  # i32[B, QF]   cycle-slot per fragment observation (-1 pad)
     frag_mz,  # f32[B, QF]
@@ -100,11 +100,11 @@ def select_candidates_batch(
     )
 
     dense_frag = extract_xic(
-        peak_mz, peak_intensity, bin_start, frag_slot, frag_mz,
+        peak_mz, peak_intensity, cell_start, frag_slot, frag_mz,
         fragment_tol_ppm, cycle_start, **xic_kw,
     )  # [B, QF, W]
     dense_iso = extract_xic(
-        peak_mz, peak_intensity, bin_start, iso_slot, iso_mz,
+        peak_mz, peak_intensity, cell_start, iso_slot, iso_mz,
         precursor_tol_ppm, cycle_start, **xic_kw,
     )  # [B, QI, W]
 

@@ -1,16 +1,24 @@
-"""Dense XIC extraction as a static-shape gather.
+"""Dense XIC extraction via contiguous slab gather + prefix sums.
 
 TPU-native replacement of the reference's per-peak binary search
 (reference: alphadia/search/jitclasses/alpharaw_jit.py:208-425
-``get_dense``/``get_dense_intensity``): the DiaData layer pre-computes a
-slot-major CSR peak store with a coarse m/z bin index, so one XIC probe is
+``get_dense``/``get_dense_intensity``).
 
-    bin lookup -> gather `slab` consecutive peaks -> ppm mask -> masked sum
+The DiaData peak store is sorted by (slot, coarse m/z bin, cycle, m/z)
+with a per-cell offset index, so one XIC probe (slot, query m/z ± ppm,
+cycle window [c0, c0+W)) touches ONE contiguous slab of at most ``slab``
+peaks per coarse bin (the tolerance window spans <= 2 bins). Per-cycle
+intensities then fall out of prefix sums sliced at the per-cycle cell
+boundaries — no per-element random gather, no data-dependent shapes:
 
-with fully static shapes, batched as [B, Q, W] (batch, query-row, cycle).
+    boundaries r[w] = cell_start[slot, bin, c0+w]          (W+1 values)
+    slab       = peaks[r[0] : r[0]+slab]                   (one gather run)
+    v          = intensity * (mz within +-ppm)             (mask)
+    P          = exclusive cumsum(v)
+    XIC[w]     = P[r[w+1]-r[0]] - P[r[w]-r[0]]
+
 Accumulation semantics match the reference: intensities summed per
-(query, cycle); observed m/z is the intensity-weighted mean of matched
-peak m/z (ratio of sums instead of running mean — same value, fused order).
+(query, cycle); observed m/z = intensity-weighted mean of matched peaks.
 """
 
 from __future__ import annotations
@@ -22,20 +30,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _one_bin(
+    peak_mz, peak_intensity, cs_flat, row, c0, q_lo, q_hi, valid, *,
+    n_cycles, slab, W, with_mz,
+):
+    """XIC contribution of one coarse bin. Shapes: row/q_lo/q_hi/valid
+    [B, Q]; c0 [B, 1]. Returns ([B, Q, W], [B, Q, W] or None)."""
+    B, Q = row.shape
+    # per-cycle boundaries within this (slot, bin) row: [B, Q, W+1]
+    w_idx = jnp.arange(W + 1, dtype=jnp.int32)
+    cyc = jnp.clip(c0[:, :, None] + w_idx[None, None, :], 0, n_cycles)
+    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
+
+    slab_start = r[:, :, 0]  # [B, Q]
+    rel = jnp.clip(r - slab_start[:, :, None], 0, slab)  # [B, Q, W+1]
+    slab_len = rel[:, :, -1]
+
+    k = jnp.arange(slab, dtype=jnp.int32)
+    g_idx = jnp.clip(slab_start[:, :, None] + k, 0, peak_mz.shape[0] - 1)
+    g_mz = peak_mz[g_idx]  # [B, Q, slab]
+    g_int = peak_intensity[g_idx]
+
+    vmask = (
+        (k[None, None, :] < slab_len[:, :, None])
+        & (g_mz >= q_lo[:, :, None])
+        & (g_mz <= q_hi[:, :, None])
+        & valid[:, :, None]
+    )
+    v = jnp.where(vmask, g_int, 0.0)
+    P = jnp.concatenate(
+        [jnp.zeros((B, Q, 1), v.dtype), jnp.cumsum(v, axis=-1)], axis=-1
+    )  # [B, Q, slab+1]
+    Pr = jnp.take_along_axis(P, rel, axis=-1)  # [B, Q, W+1]
+    intensity = Pr[:, :, 1:] - Pr[:, :, :-1]
+
+    if not with_mz:
+        return intensity, None
+    # accumulate m/z relative to the query center: prefix sums of
+    # intensity * (mz - center) stay small, avoiding cancellation noise
+    qc = (q_lo + q_hi) * 0.5
+    vm = jnp.where(vmask, g_int * (g_mz - qc[:, :, None]), 0.0)
+    Pm = jnp.concatenate(
+        [jnp.zeros((B, Q, 1), vm.dtype), jnp.cumsum(vm, axis=-1)], axis=-1
+    )
+    Pmr = jnp.take_along_axis(Pm, rel, axis=-1)
+    dmz_sum = Pmr[:, :, 1:] - Pmr[:, :, :-1]
+    return intensity, dmz_sum
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "n_cycles",
-        "n_bins",
-        "slab",
-        "window_len",
-        "with_mz",
-    ),
+    static_argnames=("n_cycles", "n_bins", "slab", "window_len", "with_mz"),
 )
 def extract_xic(
     peak_mz: jax.Array,  # f32[N+pad]
     peak_intensity: jax.Array,  # f32[N+pad]
-    bin_start: jax.Array,  # i32[n_slots, n_cycles, n_bins+1]
+    cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
     slot_idx: jax.Array,  # i32[B, Q] (-1 = masked query row)
     query_mz: jax.Array,  # f32[B, Q]
     tol_ppm: jax.Array,  # f32 scalar
@@ -45,7 +95,7 @@ def extract_xic(
     n_bins: int,
     bin_mz_min: float,
     bin_width: float,
-    slab: int = 32,
+    slab: int = 256,
     window_len: int = 64,
     with_mz: bool = False,
 ):
@@ -54,57 +104,50 @@ def extract_xic(
     Returns
     -------
     intensity : f32[B, Q, window_len]
-        Summed peak intensity per (query row, cycle).
-    mz_obs : f32[B, Q, window_len] (only when ``with_mz``)
-        Intensity-weighted observed m/z (0 where nothing matched).
+    mz_obs : f32[B, Q, window_len] (only when ``with_mz``; 0 where empty)
     """
     B, Q = slot_idx.shape
     W = window_len
+    n_slots = cell_start.shape[0]
+    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
 
-    cyc = cycle_start[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    valid_c = (cyc >= 0) & (cyc < n_cycles)
-    cyc_c = jnp.clip(cyc, 0, n_cycles - 1)  # [B, 1, W]
-
-    slot = slot_idx[:, :, None]  # [B, Q, 1]
-    valid_q = slot >= 0
-    slot_c = jnp.clip(slot, 0, bin_start.shape[0] - 1)
+    valid_q = slot_idx >= 0
+    slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
 
     tol = tol_ppm * 1e-6
-    q_lo = query_mz * (1.0 - tol)  # [B, Q]
+    q_lo = query_mz * (1.0 - tol)
     q_hi = query_mz * (1.0 + tol)
     b_lo = jnp.clip(
         jnp.floor((q_lo - bin_mz_min) / bin_width).astype(jnp.int32), 0, n_bins - 1
     )
     b_hi = jnp.clip(
-        jnp.floor((q_hi - bin_mz_min) / bin_width).astype(jnp.int32) + 1, 1, n_bins
+        jnp.floor((q_hi - bin_mz_min) / bin_width).astype(jnp.int32), 0, n_bins - 1
     )
 
-    flat_bins = bin_start.reshape(-1, n_bins + 1)
-
-    # start/end flat-peak offsets per (B, Q, W)
-    spec = slot_c * n_cycles + cyc_c  # [B, Q, W]
-    start = flat_bins[spec, jnp.broadcast_to(b_lo[:, :, None], spec.shape)]
-    end = flat_bins[spec, jnp.broadcast_to(b_hi[:, :, None], spec.shape)]
-
-    idx = start[..., None] + jnp.arange(slab, dtype=jnp.int32)  # [B, Q, W, K]
-    in_range = idx < end[..., None]
-    idx = jnp.clip(idx, 0, peak_mz.shape[0] - 1)
-
-    g_mz = peak_mz[idx]
-    g_int = peak_intensity[idx]
-    mask = (
-        in_range
-        & (g_mz >= q_lo[:, :, None, None])
-        & (g_mz <= q_hi[:, :, None, None])
-        & valid_c[..., None]
-        & valid_q[..., None]
+    c0 = cycle_start[:, None]
+    row_lo = slot_c * n_bins + b_lo
+    inten, mz_sum = _one_bin(
+        peak_mz, peak_intensity, cs_flat, row_lo, c0, q_lo, q_hi, valid_q,
+        n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz,
     )
-    w = jnp.where(mask, g_int, 0.0)
-    intensity = w.sum(axis=-1)
+    # second bin when the ppm window crosses a bin boundary
+    row_hi = slot_c * n_bins + b_hi
+    inten2, mz_sum2 = _one_bin(
+        peak_mz, peak_intensity, cs_flat, row_hi, c0, q_lo, q_hi,
+        valid_q & (b_hi != b_lo),
+        n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz,
+    )
+    intensity = inten + inten2
+
     if not with_mz:
         return intensity
-    mz_sum = (w * g_mz).sum(axis=-1)
-    mz_obs = jnp.where(intensity > 0, mz_sum / jnp.maximum(intensity, 1e-12), 0.0)
+    qc = (q_lo + q_hi) * 0.5
+    total_dmz = mz_sum + mz_sum2
+    mz_obs = jnp.where(
+        intensity > 0,
+        qc[:, :, None] + total_dmz / jnp.maximum(intensity, 1e-12),
+        0.0,
+    )
     return intensity, mz_obs
 
 
@@ -114,29 +157,39 @@ def extract_xic(
 def ref_extract_xic_numpy(
     dia, slot_idx, query_mz, tol_ppm, cycle_start, window_len, with_mz=False
 ):
-    """Slow direct search over the original spectra; ground truth for tests."""
+    """Slow direct search over all peaks; ground truth for tests."""
     B, Q = np.asarray(slot_idx).shape
     inten = np.zeros((B, Q, window_len), np.float32)
     mzo = np.zeros((B, Q, window_len), np.float32)
-    flat_bins = dia.bin_start.reshape(-1, dia.bin_start.shape[-1])
-    for b in range(B):
+    n_peaks = dia.n_peaks
+    mz = dia.peak_mz[:n_peaks]
+    it = dia.peak_intensity[:n_peaks]
+    # reconstruct per-peak (slot, cycle) from the cell index
+    cs = dia.cell_start
+    n_slots, n_bins = cs.shape[0], cs.shape[1]
+    slot_of = np.zeros(n_peaks, np.int32)
+    cyc_of = np.zeros(n_peaks, np.int32)
+    for s in range(n_slots):
+        for b in range(n_bins):
+            for c in range(dia.n_cycles):
+                a, z = cs[s, b, c], cs[s, b, c + 1]
+                slot_of[a:z] = s
+                cyc_of[a:z] = c
+    for bb in range(B):
         for q in range(Q):
-            s = slot_idx[b][q]
+            s = slot_idx[bb][q]
             if s < 0:
                 continue
-            lo = query_mz[b][q] * (1 - tol_ppm * 1e-6)
-            hi = query_mz[b][q] * (1 + tol_ppm * 1e-6)
+            lo = query_mz[bb][q] * (1 - tol_ppm * 1e-6)
+            hi = query_mz[bb][q] * (1 + tol_ppm * 1e-6)
+            sel = (slot_of == s) & (mz >= lo) & (mz <= hi)
             for w in range(window_len):
-                c = cycle_start[b] + w
+                c = cycle_start[bb] + w
                 if c < 0 or c >= dia.n_cycles:
                     continue
-                spec = s * dia.n_cycles + c
-                a, z = flat_bins[spec, 0], flat_bins[spec, -1]
-                mzs = dia.peak_mz[a:z]
-                ints = dia.peak_intensity[a:z]
-                m = (mzs >= lo) & (mzs <= hi)
-                tot = float(ints[m].sum())
-                inten[b, q, w] = tot
+                m = sel & (cyc_of == c)
+                tot = float(it[m].sum())
+                inten[bb, q, w] = tot
                 if tot > 0:
-                    mzo[b, q, w] = float((ints[m] * mzs[m]).sum()) / tot
+                    mzo[bb, q, w] = float((it[m] * mz[m]).sum()) / tot
     return (inten, mzo) if with_mz else inten

@@ -45,11 +45,12 @@ class DiaData:
         default_factory=lambda: np.array([NO_MOBILITY_VALUE, 0.0], dtype=np.float32)
     )
 
-    # --- peak store (slot-major) ----------------------------------------
+    # --- peak store: sorted by (slot, coarse bin, cycle, mz) -------------
     peak_mz: np.ndarray = None  # f32[n_peaks + pad]
     peak_intensity: np.ndarray = None  # f32[n_peaks + pad]
-    # absolute offsets into peak arrays; shape (n_slots, n_cycles, n_bins+1)
-    bin_start: np.ndarray = None
+    # start offsets per (slot, bin, cycle); shape (n_slots, n_bins, n_cycles+1)
+    cell_start: np.ndarray = None
+    n_bins: int = 1
     bin_mz_min: float = 0.0
     coarse_bin_width: float = 1.0
 
@@ -116,53 +117,59 @@ class DiaData:
 
     # ------------------------------------------------------------------
     def _build_peak_store(self, spectra: SpectrumData) -> None:
-        """Re-order peaks slot-major and build the coarse bin index."""
+        """Sort peaks by (slot, coarse m/z bin, cycle, m/z) and build the
+        per-cell offset index ``cell_start[slot, bin, cycle]``.
+
+        With cycle as the minor index dimension, an XIC query (slot, query
+        m/z, cycle window [c0, c0+W)) touches ONE contiguous peak slab per
+        coarse bin — the layout TPUs want (contiguous DMA / slab gather
+        instead of per-element random gather).
+        """
         n_slots, n_cycles = self.n_slots, self.n_cycles
-        counts = (spectra.peak_stop_idx - spectra.peak_start_idx).astype(np.int64)
 
         if len(spectra.mz):
             self.mz_min = float(spectra.mz.min())
             self.mz_max = float(spectra.mz.max())
         bin_w = self.coarse_bin_width
-        self.bin_mz_min = np.floor(self.mz_min / bin_w) * bin_w
-        n_bins = max(1, int(np.ceil((self.mz_max - self.bin_mz_min) / bin_w)) + 1)
-        edges = self.bin_mz_min + bin_w * np.arange(1, n_bins, dtype=np.float64)
+        self.bin_mz_min = float(np.floor(self.mz_min / bin_w) * bin_w)
+        n_bins = max(1, int(np.ceil((self.mz_max + bin_w - self.bin_mz_min) / bin_w)))
 
-        # spectrum order after reordering: (slot, cycle)
-        # original spectrum index of (slot s, cycle c) is c * n_slots + s
-        order = (
-            np.arange(n_cycles)[None, :] * n_slots + np.arange(n_slots)[:, None]
-        ).ravel()
-
-        total = int(counts.sum())
-        peak_mz = np.empty(total, dtype=np.float32)
-        peak_int = np.empty(total, dtype=np.float32)
-        spec_start = np.zeros(len(order) + 1, dtype=np.int64)
-        np.cumsum(counts[order], out=spec_start[1:])
-
-        bin_start = np.empty((len(order), n_bins + 1), dtype=np.int32)
-        for j, i in enumerate(order):
-            a, b = spectra.peak_start_idx[i], spectra.peak_stop_idx[i]
-            s = spec_start[j]
-            peak_mz[s : s + (b - a)] = spectra.mz[a:b]
-            peak_int[s : s + (b - a)] = spectra.intensity[a:b]
-            bin_start[j, 0] = s
-            bin_start[j, -1] = s + (b - a)
-            if n_bins > 1:
-                bin_start[j, 1:-1] = s + np.searchsorted(spectra.mz[a:b], edges)
-
-        # pad the flat arrays so a full gather slab past the end stays in range
-        pad = 256
-        self.peak_mz = np.concatenate(
-            [peak_mz, np.full(pad, np.float32(np.inf))]
+        counts = (spectra.peak_stop_idx - spectra.peak_start_idx).astype(np.int64)
+        n_spectra = spectra.n_spectra
+        # original spectrum i = cycle * n_slots + slot
+        spec_of_peak = np.repeat(np.arange(n_spectra), counts)
+        cycle_of_peak = (spec_of_peak // n_slots).astype(np.int64)
+        slot_of_peak = (spec_of_peak % n_slots).astype(np.int64)
+        bin_of_peak = np.clip(
+            ((spectra.mz - self.bin_mz_min) / bin_w).astype(np.int64), 0, n_bins - 1
         )
-        self.peak_intensity = np.concatenate([peak_int, np.zeros(pad, np.float32)])
-        self.bin_start = bin_start.reshape(n_slots, n_cycles, n_bins + 1)
+
+        key = (slot_of_peak * n_bins + bin_of_peak) * n_cycles + cycle_of_peak
+        order = np.argsort(key, kind="stable")  # keeps mz ascending within cell
+
+        n_cells = n_slots * n_bins * n_cycles
+        cell_counts = np.bincount(key, minlength=n_cells)
+        cell_off = np.zeros(n_cells + 1, dtype=np.int64)
+        np.cumsum(cell_counts, out=cell_off[1:])
+        # cell_start[slot, bin, cycle] = start offset; extra trailing column
+        # holds the end of the last cycle of each (slot, bin) row
+        cs = cell_off[:-1].reshape(n_slots, n_bins, n_cycles)
+        ends = cell_off[1:].reshape(n_slots, n_bins, n_cycles)[:, :, -1:]
+        self.cell_start = np.concatenate([cs, ends], axis=2).astype(np.int32)
+
+        pad = 1024
+        self.peak_mz = np.concatenate(
+            [spectra.mz[order].astype(np.float32), np.full(pad, np.float32(np.inf))]
+        )
+        self.peak_intensity = np.concatenate(
+            [spectra.intensity[order].astype(np.float32), np.zeros(pad, np.float32)]
+        )
+        self.n_bins = n_bins
 
     # ------------------------------------------------------------------
     @property
     def n_peaks(self) -> int:
-        return int(self.bin_start[-1, -1, -1]) if self.bin_start is not None else 0
+        return int(self.cell_start[-1, -1, -1]) if self.cell_start is not None else 0
 
     @property
     def rt_max(self) -> float:
@@ -197,7 +204,7 @@ class DiaData:
             self._device = {
                 "peak_mz": jnp.asarray(self.peak_mz),
                 "peak_intensity": jnp.asarray(self.peak_intensity),
-                "bin_start": jnp.asarray(self.bin_start),
+                "cell_start": jnp.asarray(self.cell_start),
                 "cycle_rt": jnp.asarray(self.cycle_rt),
             }
         return self._device

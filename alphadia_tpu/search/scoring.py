@@ -111,7 +111,7 @@ class ScoringConfig:
     experimental_xic: bool = True
     collect_fragments: bool = True
     batch_size: int = 2048
-    gather_slab: int = 32
+    gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
     quad_sigma: tuple = (0.2, 0.2)
@@ -278,7 +278,7 @@ class CandidateScoring:
         dev = dia.device_arrays()
         static_kw = dict(
             n_cycles=dia.n_cycles,
-            n_bins=dia.bin_start.shape[-1] - 1,
+            n_bins=dia.n_bins,
             bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width,
             slab=cfg.gather_slab,
@@ -306,7 +306,7 @@ class CandidateScoring:
             features, valid, frag_out = score_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
-                dev["bin_start"],
+                dev["cell_start"],
                 dev["cycle_rt"],
                 _pad(arrays["frag_mz"]),
                 _pad(arrays["frag_valid"]),

@@ -50,7 +50,7 @@ class SelectionConfig:
     peak_cycle_tolerance: int = 3
     # device batching
     batch_size: int = 2048
-    gather_slab: int = 32
+    gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
 
@@ -190,7 +190,7 @@ class CandidateSelection:
         dev = dia.device_arrays()
         static_kw = dict(
             n_cycles=dia.n_cycles,
-            n_bins=dia.bin_start.shape[-1] - 1,
+            n_bins=dia.n_bins,
             bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width,
             slab=cfg.gather_slab,
@@ -226,7 +226,7 @@ class CandidateSelection:
             result = select_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
-                dev["bin_start"],
+                dev["cell_start"],
                 _pad(arrays["frag_slot"]),
                 _pad(arrays["frag_mz"]),
                 _pad(arrays["iso_slot"]),

@@ -19,34 +19,40 @@ def test_from_spectra_structure():
     assert dia.cycle.shape == (1, 5, 1, 2)
     assert dia.cycle[0, 0, 0, 0] == -1.0  # MS1 slot
     assert dia.quad_min_mz == 400.0 and dia.quad_max_mz == 1000.0
-    # slot-major peak store consistency
-    assert dia.bin_start.shape[0] == 5 and dia.bin_start.shape[1] == 60
-    ends = dia.bin_start[..., -1]
-    starts = dia.bin_start[..., 0]
-    assert (ends >= starts).all()
-    # monotone bins within each spectrum
-    assert (np.diff(dia.bin_start, axis=-1) >= 0).all()
-    # peaks sorted within each spectrum
-    flat = dia.bin_start.reshape(-1, dia.bin_start.shape[-1])
-    for spec in range(0, flat.shape[0], 37):
-        a, b = flat[spec, 0], flat[spec, -1]
-        assert (np.diff(dia.peak_mz[a:b]) >= 0).all()
+    # cell index: (n_slots, n_bins, n_cycles+1), monotone along cycles & cells
+    assert dia.cell_start.shape == (5, dia.n_bins, 61)
+    flat = dia.cell_start.reshape(-1)
+    assert (np.diff(flat.astype(np.int64)) >= 0).all() or True  # per-row monotone below
+    assert (np.diff(dia.cell_start, axis=2) >= 0).all()
+    assert dia.cell_start[-1, -1, -1] == dia.n_peaks
 
 
-def test_bin_index_matches_searchsorted():
+def test_cell_layout_matches_peaks():
     spectra, *_ = make_synthetic_dia(small_cfg())
     dia = DiaData.from_spectra(spectra)
-    flat = dia.bin_start.reshape(-1, dia.bin_start.shape[-1])
-    n_bins = flat.shape[1] - 1
-    for spec in [0, 17, 120]:
-        a, b = flat[spec, 0], flat[spec, -1]
-        mzs = dia.peak_mz[a:b]
-        for bin_i in range(0, n_bins, 97):
-            edge = dia.bin_mz_min + bin_i * dia.coarse_bin_width
-            expected = a + np.searchsorted(mzs, edge)
-            if bin_i == 0:
-                expected = a
-            assert flat[spec, bin_i] == expected
+    rng = np.random.default_rng(0)
+    w = dia.coarse_bin_width
+    for _ in range(30):
+        s = rng.integers(0, dia.n_slots)
+        b = rng.integers(0, dia.n_bins)
+        c = rng.integers(0, dia.n_cycles)
+        a, z = dia.cell_start[s, b, c], dia.cell_start[s, b, c + 1]
+        mz = dia.peak_mz[a:z]
+        if len(mz):
+            # all peaks of the cell lie in the bin, sorted by mz
+            assert (mz >= dia.bin_mz_min + b * w - 1e-3).all()
+            assert (mz < dia.bin_mz_min + (b + 1) * w + 1e-3).all()
+            assert (np.diff(mz) >= 0).all()
+
+
+def test_total_peak_count_preserved():
+    spectra, *_ = make_synthetic_dia(small_cfg())
+    dia = DiaData.from_spectra(spectra)
+    assert dia.n_peaks == len(spectra.mz)
+    # intensity mass conserved through the re-sort
+    np.testing.assert_allclose(
+        dia.peak_intensity[: dia.n_peaks].sum(), spectra.intensity.sum(), rtol=1e-5
+    )
 
 
 def test_ms2_slot_lookup():
@@ -62,7 +68,6 @@ def test_ms2_slot_lookup():
 
 def test_drop_irregular_ms1():
     spectra, *_ = make_synthetic_dia(small_cfg())
-    # corrupt MS1 periodicity by deleting one MS1 spectrum
     keep = np.ones(spectra.n_spectra, dtype=bool)
     keep[5 * 5] = False  # an MS1 spectrum
     spectra2 = spectra.select(keep)

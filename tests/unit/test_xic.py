@@ -13,6 +13,17 @@ def _setup():
     return dia, prec, frag
 
 
+def _xic_kwargs(dia, W, slab=256):
+    return dict(
+        n_cycles=dia.n_cycles,
+        n_bins=dia.n_bins,
+        bin_mz_min=dia.bin_mz_min,
+        bin_width=dia.coarse_bin_width,
+        slab=slab,
+        window_len=W,
+    )
+
+
 def test_extract_xic_matches_numpy_reference():
     dia, prec, frag = _setup()
     rng = np.random.default_rng(0)
@@ -25,7 +36,7 @@ def test_extract_xic_matches_numpy_reference():
     for i, r in enumerate(rows):
         p = prec.iloc[r]
         slots = dia.ms2_slots_for_mz(float(p.mz_library))
-        f0, f1 = int(p.flat_frag_start_idx), int(p.flat_frag_stop_idx)
+        f0 = int(p.flat_frag_start_idx)
         mzs = frag.mz_library.values[f0 : f0 + Q]
         slot_idx[i, : len(mzs)] = slots[0]
         slot_idx[i, len(mzs) :] = -1
@@ -33,54 +44,66 @@ def test_extract_xic_matches_numpy_reference():
         cycle_start[i] = max(0, int(p._truth_rt / 1.5) - W // 2)
 
     tol = 10.0
+    dev = dia.device_arrays()
     got_i, got_mz = extract_xic(
-        dia.device_arrays()["peak_mz"],
-        dia.device_arrays()["peak_intensity"],
-        dia.device_arrays()["bin_start"],
-        slot_idx,
-        query_mz,
-        np.float32(tol),
-        cycle_start,
-        n_cycles=dia.n_cycles,
-        n_bins=dia.bin_start.shape[-1] - 1,
-        bin_mz_min=dia.bin_mz_min,
-        bin_width=dia.coarse_bin_width,
-        slab=32,
-        window_len=W,
-        with_mz=True,
+        dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(tol), cycle_start,
+        with_mz=True, **_xic_kwargs(dia, W),
     )
     want_i, want_mz = ref_extract_xic_numpy(
         dia, slot_idx, query_mz, tol, cycle_start, W, with_mz=True
     )
-    np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(got_mz), want_mz, rtol=1e-6, atol=1e-3)
-    # signal should actually be present for detectable precursors
+    # prefix-sum accumulation order differs from direct summation: allow
+    # float32 roundoff-scale deviations
+    np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_mz), want_mz, rtol=1e-5, atol=5e-3)
     detectable = prec.iloc[rows]._truth_detectable.values
     assert (np.asarray(got_i).sum(axis=(1, 2))[detectable] > 0).all()
+
+
+def test_extract_xic_bin_boundary_query():
+    """Query whose ppm window straddles a coarse bin edge must combine both."""
+    dia, prec, frag = _setup()
+    # a query exactly on a bin boundary with wide tolerance
+    edge = dia.bin_mz_min + (dia.n_bins // 2) * dia.coarse_bin_width
+    slot_idx = np.full((1, 1), 1, np.int32)
+    query_mz = np.array([[edge]], np.float32)
+    dev = dia.device_arrays()
+    got = extract_xic(
+        dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(100.0), np.zeros(1, np.int32),
+        **_xic_kwargs(dia, 32),
+    )
+    want = ref_extract_xic_numpy(dia, slot_idx, query_mz, 100.0, np.zeros(1, np.int32), 32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-3)
 
 
 def test_extract_xic_window_clipping():
     dia, prec, frag = _setup()
     slot_idx = np.full((2, 3), 1, np.int32)
     query_mz = np.full((2, 3), 500.0, np.float32)
-    # windows extending beyond both ends must not crash and edge cycles are zeroed
     cycle_start = np.array([-8, dia.n_cycles - 4], np.int32)
+    dev = dia.device_arrays()
     out = extract_xic(
-        dia.device_arrays()["peak_mz"],
-        dia.device_arrays()["peak_intensity"],
-        dia.device_arrays()["bin_start"],
-        slot_idx,
-        query_mz,
-        np.float32(50.0),
-        cycle_start,
-        n_cycles=dia.n_cycles,
-        n_bins=dia.bin_start.shape[-1] - 1,
-        bin_mz_min=dia.bin_mz_min,
-        bin_width=dia.coarse_bin_width,
-        slab=32,
-        window_len=16,
-        with_mz=False,
+        dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(50.0), cycle_start,
+        **_xic_kwargs(dia, 16),
     )
     out = np.asarray(out)
     assert (out[0, :, :8] == 0).all()
     assert (out[1, :, 4:] == 0).all()
+
+
+def test_extract_xic_slab_overflow_is_clamped():
+    """A tiny slab must not crash; it under-counts but stays finite."""
+    dia, prec, frag = _setup()
+    slot_idx = np.full((1, 2), 1, np.int32)
+    query_mz = np.full((1, 2), 500.0, np.float32)
+    out = extract_xic(
+        dia.device_arrays()["peak_mz"],
+        dia.device_arrays()["peak_intensity"],
+        dia.device_arrays()["cell_start"],
+        slot_idx, query_mz, np.float32(20.0), np.zeros(1, np.int32),
+        **_xic_kwargs(dia, 32, slab=4),
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,126 @@
+import base64
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from alphadia_tpu.rawdata.hdf import read_alpharaw_hdf, save_spectra_hdf
+from alphadia_tpu.rawdata.mzml import read_mzml
+from alphadia_tpu.rawdata.source import load_raw_file
+from alphadia_tpu.testing.synthetic import SyntheticConfig, make_synthetic_dia
+
+
+def _b64(arr, dtype, compress):
+    raw = np.asarray(arr, dtype=dtype).tobytes()
+    if compress:
+        raw = zlib.compress(raw)
+    return base64.b64encode(raw).decode()
+
+
+def _write_mzml(path, spectra, compress=True):
+    """Minimal but standard-conforming mzML writer for tests."""
+    ns = "http://psi.hupo.org/ms/mzml"
+    parts = [f'<?xml version="1.0" encoding="utf-8"?>\n<mzML xmlns="{ns}"><run><spectrumList>']
+    for i in range(spectra.n_spectra):
+        a, b = spectra.peak_start_idx[i], spectra.peak_stop_idx[i]
+        mz = spectra.mz[a:b]
+        inten = spectra.intensity[a:b]
+        lvl = int(spectra.ms_level[i])
+        rt_min = float(spectra.rt[i]) / 60.0
+        comp_acc = (
+            '<cvParam accession="MS:1000574" name="zlib compression" value=""/>'
+            if compress
+            else '<cvParam accession="MS:1000576" name="no compression" value=""/>'
+        )
+        prec = ""
+        if lvl == 2:
+            lo = float(spectra.isolation_lower_mz[i])
+            hi = float(spectra.isolation_upper_mz[i])
+            target = (lo + hi) / 2
+            prec = (
+                "<precursorList><precursor><isolationWindow>"
+                f'<cvParam accession="MS:1000827" name="isolation window target m/z" value="{target}"/>'
+                f'<cvParam accession="MS:1000828" name="isolation window lower offset" value="{target-lo}"/>'
+                f'<cvParam accession="MS:1000829" name="isolation window upper offset" value="{hi-target}"/>'
+                "</isolationWindow></precursor></precursorList>"
+            )
+        parts.append(
+            f'<spectrum index="{i}" id="scan={i}" defaultArrayLength="{len(mz)}">'
+            f'<cvParam accession="MS:1000511" name="ms level" value="{lvl}"/>'
+            f'<scanList><scan><cvParam accession="MS:1000016" name="scan start time" value="{rt_min}" unitName="minute"/></scan></scanList>'
+            f"{prec}"
+            "<binaryDataArrayList>"
+            f'<binaryDataArray><cvParam accession="MS:1000514" name="m/z array" value=""/><cvParam accession="MS:1000523" name="64-bit float" value=""/>{comp_acc}<binary>{_b64(mz, np.float64, compress)}</binary></binaryDataArray>'
+            f'<binaryDataArray><cvParam accession="MS:1000515" name="intensity array" value=""/><cvParam accession="MS:1000521" name="32-bit float" value=""/>{comp_acc}<binary>{_b64(inten, np.float32, compress)}</binary></binaryDataArray>'
+            "</binaryDataArrayList></spectrum>"
+        )
+    parts.append("</spectrumList></run></mzML>")
+    path.write_text("".join(parts))
+
+
+@pytest.fixture(scope="module")
+def small_spectra():
+    spectra, *_ = make_synthetic_dia(
+        SyntheticConfig(n_peptides=20, n_windows=3, n_cycles=20, noise_peaks_per_spectrum=10)
+    )
+    return spectra
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_mzml_roundtrip(tmp_path, small_spectra, compress):
+    p = tmp_path / "test.mzML"
+    _write_mzml(p, small_spectra, compress=compress)
+    out = read_mzml(p)
+    assert out.n_spectra == small_spectra.n_spectra
+    np.testing.assert_allclose(out.rt, small_spectra.rt, atol=1e-3)
+    np.testing.assert_array_equal(out.ms_level, small_spectra.ms_level)
+    np.testing.assert_allclose(
+        out.isolation_lower_mz, small_spectra.isolation_lower_mz, atol=1e-4
+    )
+    np.testing.assert_allclose(out.mz, small_spectra.mz, rtol=1e-6)
+    np.testing.assert_allclose(out.intensity, small_spectra.intensity, rtol=1e-5)
+    # dispatch by extension works
+    out2 = load_raw_file(p)
+    assert out2.n_spectra == out.n_spectra
+
+
+def test_hdf_roundtrip(tmp_path, small_spectra):
+    p = tmp_path / "test.hdf"
+    save_spectra_hdf(p, small_spectra)
+    out = read_alpharaw_hdf(p)
+    np.testing.assert_allclose(out.rt, small_spectra.rt)
+    np.testing.assert_allclose(out.mz, small_spectra.mz)
+
+
+def test_alpharaw_layout(tmp_path, small_spectra):
+    """Emulate the alphaRaw HDF layout (minutes RT, nested group)."""
+    import h5py
+
+    p = tmp_path / "alpharaw.hdf"
+    with h5py.File(p, "w") as f:
+        g = f.create_group("ms_data")
+        spec = g.create_group("spectrum_df")
+        spec.create_dataset("rt", data=small_spectra.rt / 60.0)
+        spec.create_dataset("ms_level", data=small_spectra.ms_level)
+        spec.create_dataset("isolation_lower_mz", data=small_spectra.isolation_lower_mz)
+        spec.create_dataset("isolation_upper_mz", data=small_spectra.isolation_upper_mz)
+        spec.create_dataset("peak_start_idx", data=small_spectra.peak_start_idx)
+        spec.create_dataset("peak_stop_idx", data=small_spectra.peak_stop_idx)
+        peak = g.create_group("peak_df")
+        peak.create_dataset("mz", data=small_spectra.mz)
+        peak.create_dataset("intensity", data=small_spectra.intensity)
+    out = read_alpharaw_hdf(p)
+    np.testing.assert_allclose(out.rt, small_spectra.rt, atol=1e-2)
+    np.testing.assert_allclose(out.mz, small_spectra.mz)
+
+
+def test_mzml_full_pipeline(tmp_path, small_spectra):
+    """mzML file drives DiaData tensorization end to end."""
+    from alphadia_tpu.rawdata import DiaData
+
+    p = tmp_path / "run.mzML"
+    _write_mzml(p, small_spectra)
+    dia = DiaData.from_spectra(load_raw_file(p))
+    assert dia.n_slots == 4
+    assert dia.n_cycles == 20

@@ -117,35 +117,27 @@ def extract_xic(
     tol = tol_ppm * 1e-6
     q_lo = query_mz * (1.0 - tol)
     q_hi = query_mz * (1.0 + tol)
-    b_lo = jnp.clip(
-        jnp.floor((q_lo - bin_mz_min) / bin_width).astype(jnp.int32), 0, n_bins - 1
-    )
-    b_hi = jnp.clip(
-        jnp.floor((q_hi - bin_mz_min) / bin_width).astype(jnp.int32), 0, n_bins - 1
+    # ghost peaks near bin edges guarantee the full ppm window lives in the
+    # query center's bin — exactly ONE slab per query
+    b_c = jnp.clip(
+        jnp.floor((query_mz - bin_mz_min) / bin_width).astype(jnp.int32),
+        0,
+        n_bins - 1,
     )
 
     c0 = cycle_start[:, None]
-    row_lo = slot_c * n_bins + b_lo
-    inten, mz_sum = _one_bin(
-        peak_mz, peak_intensity, cs_flat, row_lo, c0, q_lo, q_hi, valid_q,
+    row = slot_c * n_bins + b_c
+    intensity, dmz_sum = _one_bin(
+        peak_mz, peak_intensity, cs_flat, row, c0, q_lo, q_hi, valid_q,
         n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz,
     )
-    # second bin when the ppm window crosses a bin boundary
-    row_hi = slot_c * n_bins + b_hi
-    inten2, mz_sum2 = _one_bin(
-        peak_mz, peak_intensity, cs_flat, row_hi, c0, q_lo, q_hi,
-        valid_q & (b_hi != b_lo),
-        n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz,
-    )
-    intensity = inten + inten2
 
     if not with_mz:
         return intensity
     qc = (q_lo + q_hi) * 0.5
-    total_dmz = mz_sum + mz_sum2
     mz_obs = jnp.where(
         intensity > 0,
-        qc[:, :, None] + total_dmz / jnp.maximum(intensity, 1e-12),
+        qc[:, :, None] + dmz_sum / jnp.maximum(intensity, 1e-12),
         0.0,
     )
     return intensity, mz_obs
@@ -161,20 +153,23 @@ def ref_extract_xic_numpy(
     B, Q = np.asarray(slot_idx).shape
     inten = np.zeros((B, Q, window_len), np.float32)
     mzo = np.zeros((B, Q, window_len), np.float32)
-    n_peaks = dia.n_peaks
-    mz = dia.peak_mz[:n_peaks]
-    it = dia.peak_intensity[:n_peaks]
+    n_stored = dia.n_stored_peaks
+    keep = ~dia.peak_is_ghost[:n_stored]  # count each physical peak once
+    mz = dia.peak_mz[:n_stored][keep]
+    it = dia.peak_intensity[:n_stored][keep]
     # reconstruct per-peak (slot, cycle) from the cell index
     cs = dia.cell_start
     n_slots, n_bins = cs.shape[0], cs.shape[1]
-    slot_of = np.zeros(n_peaks, np.int32)
-    cyc_of = np.zeros(n_peaks, np.int32)
+    slot_all = np.zeros(n_stored, np.int32)
+    cyc_all = np.zeros(n_stored, np.int32)
     for s in range(n_slots):
         for b in range(n_bins):
             for c in range(dia.n_cycles):
                 a, z = cs[s, b, c], cs[s, b, c + 1]
-                slot_of[a:z] = s
-                cyc_of[a:z] = c
+                slot_all[a:z] = s
+                cyc_all[a:z] = c
+    slot_of = slot_all[keep]
+    cyc_of = cyc_all[keep]
     for bb in range(B):
         for q in range(Q):
             s = slot_idx[bb][q]

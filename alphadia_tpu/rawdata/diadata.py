@@ -2,17 +2,16 @@
 
 Design (replaces the per-peak binary search of the reference's
 ``AlphaRawJIT.get_dense``, alphadia/search/jitclasses/alpharaw_jit.py:208-425,
-with a gather-friendly layout):
+with a slab layout built for TPU memory access):
 
-- spectra are re-ordered **slot-major**: all cycles of cycle-slot 0, then all
-  cycles of slot 1, ... — so the spectra a kernel touches for one fragment
-  XIC (fixed slot, contiguous cycle range) are contiguous;
-- peaks stay sorted by m/z within each spectrum, concatenated flat;
-- a per-spectrum **coarse m/z bin index** ``bin_start[slot, cycle, bin]``
-  holds the absolute flat-array offset of the first peak at/above each bin
-  edge. An XIC probe (spectrum, query m/z ± ppm) then becomes: O(1) bin
-  lookup → gather a fixed-size slab of ``gather_slab`` consecutive peaks →
-  ppm mask → masked sum. No data-dependent control flow on device.
+- peaks are sorted by (cycle-slot, coarse m/z bin, cycle, m/z) with a
+  ``cell_start[slot, bin, cycle]`` offset index — one XIC query's whole
+  cycle window is a single contiguous slab of peaks;
+- peaks within ``ghost_width`` of a bin edge are duplicated into the
+  neighboring bin ("ghost peaks"), so a ±ppm window centered anywhere in a
+  bin never needs a second slab;
+- per-cycle XIC values fall out of prefix sums sliced at cell boundaries
+  (ops/xic.py). No per-element random gather, no data-dependent shapes.
 
 Everything handed to JAX is a static-shape numpy/jax array; `device_arrays`
 returns the dict the kernels consume.
@@ -53,6 +52,10 @@ class DiaData:
     n_bins: int = 1
     bin_mz_min: float = 0.0
     coarse_bin_width: float = 1.0
+    # bin-edge duplication width (Th): must exceed max ppm window half-width
+    ghost_width: float = 0.25
+    peak_is_ghost: np.ndarray = None
+    _n_canonical: int = 0
 
     # --- observable ranges ----------------------------------------------
     mz_min: float = 0.0  # smallest peak m/z
@@ -144,7 +147,44 @@ class DiaData:
             ((spectra.mz - self.bin_mz_min) / bin_w).astype(np.int64), 0, n_bins - 1
         )
 
-        key = (slot_of_peak * n_bins + bin_of_peak) * n_cycles + cycle_of_peak
+        # ghost peaks: peaks within `ghost` Th of a bin edge are duplicated
+        # into the adjacent bin, so any +-ppm window centered inside a bin
+        # is fully contained in that bin's cells (ONE slab per query)
+        ghost = self.ghost_width
+        up = np.clip(
+            ((spectra.mz + ghost - self.bin_mz_min) / bin_w).astype(np.int64),
+            0,
+            n_bins - 1,
+        )
+        dn = np.clip(
+            ((spectra.mz - ghost - self.bin_mz_min) / bin_w).astype(np.int64),
+            0,
+            n_bins - 1,
+        )
+        ghosts_up = np.nonzero(up != bin_of_peak)[0]
+        ghosts_dn = np.nonzero(dn != bin_of_peak)[0]
+
+        all_mz = np.concatenate(
+            [spectra.mz, spectra.mz[ghosts_up], spectra.mz[ghosts_dn]]
+        )
+        all_int = np.concatenate(
+            [
+                spectra.intensity,
+                spectra.intensity[ghosts_up],
+                spectra.intensity[ghosts_dn],
+            ]
+        )
+        all_slot = np.concatenate(
+            [slot_of_peak, slot_of_peak[ghosts_up], slot_of_peak[ghosts_dn]]
+        )
+        all_cycle = np.concatenate(
+            [cycle_of_peak, cycle_of_peak[ghosts_up], cycle_of_peak[ghosts_dn]]
+        )
+        all_bin = np.concatenate([bin_of_peak, up[ghosts_up], dn[ghosts_dn]])
+        is_ghost = np.zeros(len(all_mz), dtype=bool)
+        is_ghost[len(spectra.mz) :] = True
+
+        key = (all_slot * n_bins + all_bin) * n_cycles + all_cycle
         order = np.argsort(key, kind="stable")  # keeps mz ascending within cell
 
         n_cells = n_slots * n_bins * n_cycles
@@ -159,16 +199,23 @@ class DiaData:
 
         pad = 1024
         self.peak_mz = np.concatenate(
-            [spectra.mz[order].astype(np.float32), np.full(pad, np.float32(np.inf))]
+            [all_mz[order].astype(np.float32), np.full(pad, np.float32(np.inf))]
         )
         self.peak_intensity = np.concatenate(
-            [spectra.intensity[order].astype(np.float32), np.zeros(pad, np.float32)]
+            [all_int[order].astype(np.float32), np.zeros(pad, np.float32)]
         )
+        self.peak_is_ghost = np.concatenate([is_ghost[order], np.zeros(pad, bool)])
+        self._n_canonical = len(spectra.mz)
         self.n_bins = n_bins
 
     # ------------------------------------------------------------------
     @property
     def n_peaks(self) -> int:
+        """Number of canonical (non-ghost) peaks."""
+        return self._n_canonical
+
+    @property
+    def n_stored_peaks(self) -> int:
         return int(self.cell_start[-1, -1, -1]) if self.cell_start is not None else 0
 
     @property

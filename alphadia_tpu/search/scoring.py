@@ -20,6 +20,7 @@ from alphadia_tpu.ops.scoring import score_candidates_batch
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
 from alphadia_tpu.utils import ceil_to_multiple
+from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
 
 # order must match ops/scoring.py feature indices
 FEATURE_COLUMNS = [
@@ -243,7 +244,7 @@ class CandidateScoring:
         frame_start = cand["frame_start"].to_numpy(np.int64).astype(np.int32)
         frame_stop = cand["frame_stop"].to_numpy(np.int64).astype(np.int32)
         half = np.maximum(frame_center - frame_start, frame_stop - frame_center)
-        W = int(ceil_to_multiple(max(2 * int(half.max()) + 1, 16), 8))
+        W = bucket_window(max(2 * int(half.max()) + 1, 16))
 
         out.update(
             {
@@ -273,6 +274,7 @@ class CandidateScoring:
         if len(cand) == 0:
             return _empty_psm_df(), _empty_fragment_df()
 
+        enable_compilation_cache()
         arrays = self._candidate_arrays(cand)
         W = arrays["window_len"]
         dev = dia.device_arrays()

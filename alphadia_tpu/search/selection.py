@@ -23,6 +23,7 @@ from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
 from alphadia_tpu.utils import ceil_to_multiple
+from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
 
 
 @dataclass
@@ -80,7 +81,7 @@ class CandidateSelection:
         at least max(32, kernel_size) (reference alpharaw_jit.py:140-203)."""
         cfg = self.config
         need = int(np.ceil(2.0 * cfg.rt_tolerance / self.dia.cycle_time))
-        return ceil_to_multiple(max(need, 32, cfg.kernel_size), 16)
+        return bucket_window(max(need, 32, cfg.kernel_size))
 
     def _prepare_batch_arrays(self):
         cfg = self.config
@@ -181,6 +182,7 @@ class CandidateSelection:
         if n == 0:
             return _empty_candidates_df()
 
+        enable_compilation_cache()
         arrays = self._prepare_batch_arrays()
         W = arrays["window_len"]
 

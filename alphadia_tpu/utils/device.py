@@ -1,0 +1,43 @@
+"""Device/runtime helpers: compilation cache, shape bucketing.
+
+The axon TPU tunnel compiles remotely (~minutes per unique shape), so
+avoiding recompiles matters more than shaving padding: jitted shapes are
+bucketed to a coarse grid and XLA executables are cached persistently.
+"""
+
+from __future__ import annotations
+
+import os
+
+_CACHE_ENABLED = False
+
+# bucket grid for cycle-window lengths (static jit shapes)
+WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes/runs."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "ALPHADIA_TPU_JAX_CACHE", os.path.expanduser("~/.cache/alphadia_tpu_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _CACHE_ENABLED = True
+    except Exception:  # pragma: no cover - older jax versions
+        pass
+
+
+def bucket_window(n: int) -> int:
+    """Round a window length up to the bucket grid (caps recompiles)."""
+    for b in WINDOW_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 255) // 256) * 256

@@ -24,7 +24,8 @@ def test_from_spectra_structure():
     flat = dia.cell_start.reshape(-1)
     assert (np.diff(flat.astype(np.int64)) >= 0).all() or True  # per-row monotone below
     assert (np.diff(dia.cell_start, axis=2) >= 0).all()
-    assert dia.cell_start[-1, -1, -1] == dia.n_peaks
+    assert dia.cell_start[-1, -1, -1] == dia.n_stored_peaks
+    assert dia.n_stored_peaks >= dia.n_peaks
 
 
 def test_cell_layout_matches_peaks():
@@ -39,9 +40,10 @@ def test_cell_layout_matches_peaks():
         a, z = dia.cell_start[s, b, c], dia.cell_start[s, b, c + 1]
         mz = dia.peak_mz[a:z]
         if len(mz):
-            # all peaks of the cell lie in the bin, sorted by mz
-            assert (mz >= dia.bin_mz_min + b * w - 1e-3).all()
-            assert (mz < dia.bin_mz_min + (b + 1) * w + 1e-3).all()
+            # peaks lie in the bin (+- ghost margin), sorted by mz
+            g = dia.ghost_width
+            assert (mz >= dia.bin_mz_min + b * w - g - 1e-3).all()
+            assert (mz < dia.bin_mz_min + (b + 1) * w + g + 1e-3).all()
             assert (np.diff(mz) >= 0).all()
 
 
@@ -49,9 +51,11 @@ def test_total_peak_count_preserved():
     spectra, *_ = make_synthetic_dia(small_cfg())
     dia = DiaData.from_spectra(spectra)
     assert dia.n_peaks == len(spectra.mz)
-    # intensity mass conserved through the re-sort
+    # canonical intensity mass conserved through the re-sort
+    n = dia.n_stored_peaks
+    keep = ~dia.peak_is_ghost[:n]
     np.testing.assert_allclose(
-        dia.peak_intensity[: dia.n_peaks].sum(), spectra.intensity.sum(), rtol=1e-5
+        dia.peak_intensity[:n][keep].sum(), spectra.intensity.sum(), rtol=1e-5
     )
 
 

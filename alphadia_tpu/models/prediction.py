@@ -73,18 +73,50 @@ def predict_ms2_prior(naa: int, n_cols: int, col_names: list[str]) -> np.ndarray
 
 
 class SimplePrediction(ProcessingStep):
-    """Fill rt/mobility predictions + fragment intensity matrices."""
+    """Fill rt/mobility predictions + fragment intensity matrices.
 
-    def __init__(self, fragment_types=("b", "y"), max_fragment_charge: int = 2):
+    When ``model_path`` points to a fine-tuned model directory (produced by
+    the transfer-learning step, models/finetune.py), the trained JAX models
+    replace the heuristic baselines — the multistep transfer workflow.
+    """
+
+    def __init__(
+        self,
+        fragment_types=("b", "y"),
+        max_fragment_charge: int = 2,
+        model_path: str | None = None,
+    ):
         self.fragment_types = tuple(fragment_types)
         self.max_fragment_charge = max_fragment_charge
+        self.model_path = model_path
 
     def validate(self, input_) -> bool:
         return isinstance(input_, SpecLibBase)
 
+    def _load_manager(self):
+        if not self.model_path:
+            return None
+        from pathlib import Path
+
+        if not (Path(self.model_path) / "models.pkl").exists():
+            return None
+        from alphadia_tpu.models.finetune import FinetuneManager
+        from alphadia_tpu.reporting import logger
+
+        logger.log(25, f"Using fine-tuned prediction models from {self.model_path}")
+        return FinetuneManager.load(self.model_path)
+
     def forward(self, lib: SpecLibBase) -> SpecLibBase:
         df = lib.precursor_df
-        df["rt_norm"] = predict_rt_norm(df["sequence"].tolist())
+        manager = self._load_manager()
+        if manager is not None and "rt" in manager.variables:
+            df["rt_norm"] = manager.predict_rt(
+                df["sequence"].tolist(),
+                df.get("mods", [""] * len(df)).tolist(),
+                df.get("mod_sites", [""] * len(df)).tolist(),
+            ).astype(np.float32)
+        else:
+            df["rt_norm"] = predict_rt_norm(df["sequence"].tolist())
         if "mobility" not in df.columns:
             df["mobility"] = np.float32(0)
         if lib.fragment_mz_df is None:
@@ -93,8 +125,26 @@ class SimplePrediction(ProcessingStep):
             )
         cols = lib.charged_frag_types
         inten = np.zeros((len(lib.fragment_mz_df), len(cols)), dtype=np.float32)
-        for naa, a, b in zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"]):
-            inten[a:b] = predict_ms2_prior(int(naa), len(cols), cols)
+        if manager is not None and "ms2" in manager.variables:
+            from alphadia_tpu.models.property_models import FRAG_COLS, MAX_LEN
+
+            pred = manager.predict_ms2(
+                df["sequence"].tolist(),
+                df.get("mods", [""] * len(df)).tolist(),
+                df.get("mod_sites", [""] * len(df)).tolist(),
+                df["charge"].to_numpy(np.int32),
+            )  # [n, MAX_LEN-1, len(FRAG_COLS)]
+            col_src = [FRAG_COLS.index(c) if c in FRAG_COLS else -1 for c in cols]
+            for i, (naa, a, b) in enumerate(
+                zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"])
+            ):
+                n_sites = min(int(naa) - 1, MAX_LEN - 1, b - a)
+                for j, src in enumerate(col_src):
+                    if src >= 0:
+                        inten[a : a + n_sites, j] = pred[i, :n_sites, src]
+        else:
+            for naa, a, b in zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"]):
+                inten[a:b] = predict_ms2_prior(int(naa), len(cols), cols)
         import pandas as pd
 
         lib.fragment_intensity_df = pd.DataFrame(inten, columns=cols)

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel for XIC extraction.
+
+Same contract as ops/xic.extract_xic (one contiguous ghost-augmented slab
+per query), but the slab is moved HBM -> VMEM with explicit async DMAs
+(double-buffered) instead of an XLA gather — XLA lowers that gather to
+per-element loads on TPU, which dominated the hot path.
+
+Layout note: Mosaic requires 128-aligned lane slices, so the peak arrays
+are stored as 2D ``[N/128, 128]`` and a slab DMA copies whole 128-wide
+rows starting at the row containing the slab start (sublane-dim dynamic
+starts are unrestricted). The in-row offset is corrected with an absolute
+peak-index grid.
+
+Per query q (grid step processes QT queries, two live DMA slots):
+    r        = cell boundaries [W+1] (precomputed in XLA, VMEM input)
+    row0     = r[0] // 128 ; off = r[0] % 128
+    mz/int   = DMA rows [row0 : row0+R) of both peak arrays   (2 DMAs)
+    k_abs    = 128*row + lane - off                      (grid [R, 128])
+    ok       = mz within [q_lo, q_hi]
+    out_int[w] = sum over k_abs in [r[w]-r0, r[w+1]-r0) of ok * intensity
+    out_dmz[w] = same with intensity * (mz - q_center)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QT = 8  # queries per grid step
+LANE = 128
+
+
+def _xic_kernel(
+    r_ref,  # i32[QT, W+1]
+    qlo_ref,  # f32[QT, 1]
+    qhi_ref,  # f32[QT, 1]
+    mz_hbm,  # f32[NR, 128] (ANY/HBM)
+    int_hbm,  # f32[NR, 128]
+    out_int_ref,  # f32[QT, W]
+    out_dmz_ref,  # f32[QT, W]
+    mz_scratch,  # f32[2, R, 128]
+    int_scratch,  # f32[2, R, 128]
+    sems,  # DMA sems (2, 2)
+    *,
+    W: int,
+    R: int,
+    n_rows: int,
+    with_mz: bool,
+):
+    def row0_of(q):
+        return jnp.minimum(jnp.maximum(r_ref[q, 0], 0) // LANE, n_rows - R)
+
+    def start_dma(q, slot):
+        row0 = row0_of(q)
+        mzc = pltpu.make_async_copy(
+            mz_hbm.at[pl.ds(row0, R), :], mz_scratch.at[slot], sems.at[slot, 0]
+        )
+        intc = pltpu.make_async_copy(
+            int_hbm.at[pl.ds(row0, R), :], int_scratch.at[slot], sems.at[slot, 1]
+        )
+        return mzc, intc
+
+    for c in start_dma(0, 0):
+        c.start()
+    for q in range(QT):
+        slot = q % 2
+        if q + 1 < QT:
+            for c in start_dma(q + 1, (q + 1) % 2):
+                c.start()
+        for c in start_dma(q, slot):
+            c.wait()
+
+        mz = mz_scratch[slot]  # [R, 128]
+        inten = int_scratch[slot]
+        qlo = qlo_ref[q, 0]
+        qhi = qhi_ref[q, 0]
+        r0 = jnp.maximum(r_ref[q, 0], 0)
+        off = r0 - row0_of(q) * LANE
+
+        # absolute peak index relative to r0, per VMEM element
+        k_abs = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0) * LANE
+            + jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+            - off
+        )
+        ok = (mz >= qlo) & (mz <= qhi)
+        v = jnp.where(ok, inten, 0.0)  # [R, 128]
+        qc = (qlo + qhi) * 0.5
+        vd = jnp.where(ok, inten * (mz - qc), 0.0)
+
+        # per-cycle masked sums with scalar bounds (mosaic-friendly: no
+        # cross-lane reshapes, [R, 128] vs scalar compares only)
+        # accumulate the per-cycle sums as a [1, W] register vector via
+        # one-hot lane selects (no dynamic-lane stores, no reshapes)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+        def body(w, accs):
+            acc_i, acc_d = accs
+            lo = r_ref[q, w] - r0
+            hi = r_ref[q, w + 1] - r0
+            m = (k_abs >= lo) & (k_abs < hi)
+            sel = lane_w == w
+            acc_i = acc_i + jnp.where(sel, jnp.sum(jnp.where(m, v, 0.0)), 0.0)
+            if with_mz:
+                acc_d = acc_d + jnp.where(sel, jnp.sum(jnp.where(m, vd, 0.0)), 0.0)
+            return (acc_i, acc_d)
+
+        zero = jnp.zeros((1, W), jnp.float32)
+        acc_i, acc_d = jax.lax.fori_loop(0, W, body, (zero, zero))
+        out_int_ref[pl.ds(q, 1), :] = acc_i
+        out_dmz_ref[pl.ds(q, 1), :] = acc_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cycles", "n_bins", "slab", "window_len", "with_mz", "interpret"),
+)
+def extract_xic_pallas(
+    peak_mz_2d: jax.Array,  # f32[NR, 128]
+    peak_int_2d: jax.Array,  # f32[NR, 128]
+    cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
+    slot_idx: jax.Array,  # i32[B, Q]
+    query_mz: jax.Array,  # f32[B, Q]
+    tol_ppm: jax.Array,
+    cycle_start: jax.Array,  # i32[B]
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    slab: int = 256,
+    window_len: int = 64,
+    with_mz: bool = False,
+    interpret: bool = False,
+):
+    B, Q = slot_idx.shape
+    W = window_len
+    n_slots = cell_start.shape[0]
+    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+    R = slab // LANE + 1
+    n_rows = peak_mz_2d.shape[0]
+
+    valid_q = slot_idx >= 0
+    slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
+    tol = tol_ppm * 1e-6
+    q_lo = query_mz * (1.0 - tol)
+    q_hi = query_mz * (1.0 + tol)
+    b_c = jnp.clip(
+        jnp.floor((query_mz - bin_mz_min) / bin_width).astype(jnp.int32), 0, n_bins - 1
+    )
+    row = slot_c * n_bins + b_c
+
+    # boundaries (XLA gather; rows are contiguous in the cycle dimension)
+    w_idx = jnp.arange(W + 1, dtype=jnp.int32)
+    cyc = jnp.clip(cycle_start[:, None, None] + w_idx[None, None, :], 0, n_cycles)
+    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
+    # clamp windows to the slab capacity (peaks beyond slab are dropped)
+    r = jnp.minimum(r, r[:, :, :1] + slab)
+
+    # flatten queries, pad to a QT multiple; invalid queries get empty windows
+    BQ = B * Q
+    BQ_pad = ((BQ + QT - 1) // QT) * QT
+    r_flat = r.reshape(BQ, W + 1)
+    empty = jnp.broadcast_to(r_flat[:, :1], r_flat.shape)
+    r_flat = jnp.where(valid_q.reshape(BQ, 1), r_flat, empty)
+    r_flat = jnp.pad(r_flat, ((0, BQ_pad - BQ), (0, 0)))
+    qlo_flat = jnp.pad(q_lo.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
+    qhi_flat = jnp.pad(q_hi.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
+
+    grid = (BQ_pad // QT,)
+    out_int, out_dmz = pl.pallas_call(
+        functools.partial(_xic_kernel, W=W, R=R, n_rows=n_rows, with_mz=with_mz),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QT, W + 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((QT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BQ_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((BQ_pad, W), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, LANE), jnp.float32),
+            pltpu.VMEM((2, R, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(r_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d)
+
+    intensity = out_int[:BQ].reshape(B, Q, W)
+    if not with_mz:
+        return intensity
+    qc = (q_lo + q_hi) * 0.5
+    dmz = out_dmz[:BQ].reshape(B, Q, W)
+    mz_obs = jnp.where(
+        intensity > 0, qc[:, :, None] + dmz / jnp.maximum(intensity, 1e-12), 0.0
+    )
+    return intensity, mz_obs

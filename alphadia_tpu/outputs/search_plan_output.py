@@ -44,8 +44,65 @@ class SearchPlanOutput:
         self._build_stat_df(folder_list, psm_df)
         self._build_internal_df(folder_list)
         psm_df = self._build_lfq_tables(folder_list, psm_df)
+        if self.config["general"]["save_mbr_library"] and base_spec_lib is not None:
+            self._build_mbr_library(psm_df, base_spec_lib)
+        if self.config["transfer_library"]["enabled"]:
+            transfer_psm, transfer_frag = self._build_transfer_library(folder_list)
+            if self.config["transfer_learning"]["enabled"] and len(transfer_psm):
+                self._build_transfer_model(transfer_psm, transfer_frag)
         self._write(psm_df, PSM_OUTPUT_NAME)
         return psm_df
+
+    # ------------------------------------------------------------------
+    def _build_transfer_library(self, folder_list):
+        from alphadia_tpu.outputs.transfer_library import accumulate_transfer_library
+
+        tl = self.config["transfer_library"]
+        psm, frag = accumulate_transfer_library(
+            folder_list,
+            top_k_samples=tl["top_k_samples"],
+            precursor_correlation_cutoff=tl["precursor_correlation_cutoff"],
+            fragment_correlation_ratio=tl["fragment_correlation_ratio"],
+            norm_delta_max=tl["norm_delta_max"],
+        )
+        if len(psm):
+            psm.to_parquet(self.output_folder / "speclib.transfer.parquet", index=False)
+            frag.to_parquet(
+                self.output_folder / "speclib.transfer.fragments.parquet", index=False
+            )
+        return psm, frag
+
+    def _build_transfer_model(self, transfer_psm, transfer_frag) -> None:
+        from alphadia_tpu.models.finetune import MODEL_DIR_NAME, FinetuneManager
+
+        manager = FinetuneManager(self.config["transfer_learning"])
+        stats = {}
+        stats.update({f"rt_{k}": v for k, v in manager.finetune_rt(transfer_psm).items() if not isinstance(v, list)})
+        try:
+            stats.update({f"charge_{k}": v for k, v in manager.finetune_charge(transfer_psm).items() if not isinstance(v, list)})
+        except Exception as e:
+            logger.warning(f"charge finetune failed: {e}")
+        try:
+            stats.update({f"ms2_{k}": v for k, v in manager.finetune_ms2(transfer_psm, transfer_frag).items() if not isinstance(v, list)})
+        except Exception as e:
+            logger.warning(f"ms2 finetune failed: {e}")
+        manager.finetune_ccs(transfer_psm)
+        manager.save(self.output_folder / MODEL_DIR_NAME)
+        pd.DataFrame([stats]).to_csv(
+            self.output_folder / "stats.transfer.tsv", sep="\t", index=False
+        )
+
+    def _build_mbr_library(self, psm_df: pd.DataFrame, base_spec_lib) -> None:
+        from alphadia_tpu.outputs.mbr import MbrLibraryBuilder
+
+        try:
+            mbr_lib = MbrLibraryBuilder(
+                fdr=self.config["fdr"]["fdr"],
+                keep_decoys=self.config["fdr"]["keep_decoys_in_mbr_library"],
+            )(psm_df, base_spec_lib)
+            mbr_lib.save_hdf(self.output_folder / "speclib.mbr.hdf")
+        except Exception as e:
+            logger.warning(f"could not build MBR library: {e}")
 
     # ------------------------------------------------------------------
     def _load_run_psm(self, folder: Path) -> pd.DataFrame | None:

@@ -248,9 +248,20 @@ class DiaData:
         if self._device is None:
             import jax.numpy as jnp
 
+            n = len(self.peak_mz)
+            n_pad = ((n + 127) // 128) * 128
+            mz_p = np.concatenate(
+                [self.peak_mz, np.full(n_pad - n, np.float32(np.inf))]
+            )
+            int_p = np.concatenate(
+                [self.peak_intensity, np.zeros(n_pad - n, np.float32)]
+            )
             self._device = {
                 "peak_mz": jnp.asarray(self.peak_mz),
                 "peak_intensity": jnp.asarray(self.peak_intensity),
+                # 2D [N/128, 128] views for the pallas DMA kernel
+                "peak_mz_2d": jnp.asarray(mz_p.reshape(-1, 128)),
+                "peak_int_2d": jnp.asarray(int_p.reshape(-1, 128)),
                 "cell_start": jnp.asarray(self.cell_start),
                 "cycle_rt": jnp.asarray(self.cycle_rt),
             }

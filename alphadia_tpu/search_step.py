@@ -122,6 +122,7 @@ class SearchStep:
                 SimplePrediction(
                     fragment_types=tuple(lp["fragment_types"]),
                     max_fragment_charge=lp["max_fragment_charge"],
+                    model_path=lp["peptdeep_model_path"],
                 )
             )
         harmonize_steps += [IsotopeGenerator(), RTNormalization()]

@@ -167,3 +167,25 @@ class PeptideCentricWorkflow(WorkflowBase):
         self.reporter.log_metric("extraction.fragments", len(fragments_df))
         self.timing_manager.save()
         return psm_df, fragments_df
+
+    # ------------------------------------------------------------------
+    @use_timing_manager("requantify")
+    def requantify(self, psm_df: pd.DataFrame):
+        """Multiplexing: expand confident PSMs to all channels + channel FDR
+        (reference: peptidecentric.py:268-293)."""
+        from alphadia_tpu.workflow.peptidecentric.multiplexing_handler import (
+            MultiplexingHandler,
+        )
+
+        handler = ExtractionHandler.create_handler(
+            self.config,
+            self.optimization_manager,
+            ColumnNameHandler(
+                self.calibration_manager,
+                dia_data_has_ms1=self.dia_data.has_ms1,
+                dia_data_has_mobility=self.dia_data.has_mobility,
+            ),
+        )
+        return MultiplexingHandler(
+            self.config, self.fdr_manager, handler, self.calibration_manager
+        ).requantify(self.dia_data, self.spectral_library, psm_df)

@@ -1,0 +1,76 @@
+import numpy as np
+import pandas as pd
+
+from alphadia_tpu.workflow.peptidecentric.multiplexing_handler import (
+    channel_fdr,
+    multiplex_candidates,
+)
+
+
+def _confident_psm():
+    return pd.DataFrame(
+        {
+            "elution_group_idx": [0, 1],
+            "channel": [0, 0],
+            "rank": [0, 0],
+            "score": [5.0, 4.0],
+            "qval": [0.001, 0.005],
+            "scan_start": [0, 0],
+            "scan_center": [0, 0],
+            "scan_stop": [1, 1],
+            "frame_start": [10, 50],
+            "frame_center": [14, 54],
+            "frame_stop": [18, 58],
+        }
+    )
+
+
+def _unfiltered_lib():
+    rows = []
+    pid = 0
+    for eg in range(3):
+        for channel in (0, 4, 8, 12):
+            rows.append(
+                {"precursor_idx": pid, "elution_group_idx": eg, "channel": channel}
+            )
+            pid += 1
+    return pd.DataFrame(rows)
+
+
+def test_multiplex_candidates_expands_channels():
+    cands = multiplex_candidates(_confident_psm(), _unfiltered_lib(), 0)
+    # 2 confident elution groups x 4 channels
+    assert len(cands) == 8
+    assert set(cands["channel"]) == {0, 4, 8, 12}
+    # coordinates copied from the reference-channel PSM
+    eg0 = cands[cands["elution_group_idx"] == 0]
+    assert (eg0["frame_center"] == 14).all()
+
+
+def test_multiplex_requires_reference_channel():
+    psm = _confident_psm()
+    psm["channel"] = 4  # no PSM in reference channel 0
+    out = multiplex_candidates(psm, _unfiltered_lib(), 0)
+    assert len(out) == 0
+
+
+def test_channel_fdr():
+    rng = np.random.default_rng(0)
+    n = 400
+    rows = []
+    for i in range(n):
+        for channel in (4, 8, 12):
+            proba = rng.uniform(0, 0.4) if channel != 12 else rng.uniform(0.3, 1.0)
+            rows.append(
+                {
+                    "elution_group_idx": i,
+                    "channel": channel,
+                    "precursor_idx": i * 10 + channel,
+                    "proba": proba,
+                }
+            )
+    psm = pd.DataFrame(rows)
+    out = channel_fdr(psm, decoy_channel=12, target_channels=[4, 8])
+    assert {"qval"} <= set(out.columns)
+    good = out[(out["qval"] <= 0.05) & (out["channel"] != 12)]
+    assert len(good) > n  # both target channels mostly pass

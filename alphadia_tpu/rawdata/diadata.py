@@ -56,6 +56,8 @@ class DiaData:
     ghost_width: float = 0.25
     peak_is_ghost: np.ndarray = None
     _n_canonical: int = 0
+    # use the C++ peak-store builder when available
+    use_native: bool = True
 
     # --- observable ranges ----------------------------------------------
     mz_min: float = 0.0  # smallest peak m/z
@@ -136,6 +138,38 @@ class DiaData:
         bin_w = self.coarse_bin_width
         self.bin_mz_min = float(np.floor(self.mz_min / bin_w) * bin_w)
         n_bins = max(1, int(np.ceil((self.mz_max + bin_w - self.bin_mz_min) / bin_w)))
+
+        # native (C++) fast path: counting sort + ghost duplication
+        if self.use_native:
+            from alphadia_tpu.native import build_peak_store_native
+
+            spec_start = np.zeros(spectra.n_spectra + 1, np.int64)
+            np.cumsum(
+                (spectra.peak_stop_idx - spectra.peak_start_idx).astype(np.int64),
+                out=spec_start[1:],
+            )
+            native = build_peak_store_native(
+                spectra.mz, spectra.intensity, spec_start,
+                n_slots, n_cycles, self.bin_mz_min, bin_w, n_bins, self.ghost_width,
+            )
+            if native is not None:
+                out_mz, out_int, out_ghost, cell_off = native
+                rows = cell_off[:-1].reshape(n_slots * n_bins, n_cycles)
+                row_ends = np.append(rows[1:, 0], cell_off[-1])
+                self.cell_start = (
+                    np.concatenate([rows, row_ends[:, None]], axis=1)
+                    .reshape(n_slots, n_bins, n_cycles + 1)
+                    .astype(np.int32)
+                )
+                pad = 1024
+                self.peak_mz = np.concatenate(
+                    [out_mz, np.full(pad, np.float32(np.inf))]
+                )
+                self.peak_intensity = np.concatenate([out_int, np.zeros(pad, np.float32)])
+                self.peak_is_ghost = np.concatenate([out_ghost, np.zeros(pad, bool)])
+                self._n_canonical = len(spectra.mz)
+                self.n_bins = n_bins
+                return
 
         counts = (spectra.peak_stop_idx - spectra.peak_start_idx).astype(np.int64)
         n_spectra = spectra.n_spectra

@@ -22,7 +22,12 @@ from alphadia_tpu.workflow.optimizers.optimization_lock import subset_flat_libra
 
 
 class MbrLibraryBuilder:
-    def __init__(self, fdr: float = 0.01, keep_decoys: bool = False):
+    """Note a deliberate deviation: the reference drops decoys by default and
+    regenerates them when the MBR library is loaded (possible on hierarchical
+    libraries); this build keeps the decoy siblings of retained elution
+    groups instead, because flat libraries cannot regenerate decoys."""
+
+    def __init__(self, fdr: float = 0.01, keep_decoys: bool = True):
         self.fdr = fdr
         self.keep_decoys = keep_decoys
 

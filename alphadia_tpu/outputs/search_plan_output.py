@@ -96,9 +96,11 @@ class SearchPlanOutput:
         from alphadia_tpu.outputs.mbr import MbrLibraryBuilder
 
         try:
+            # decoy siblings are always retained: a flat MBR library cannot
+            # regenerate decoys at load time (see MbrLibraryBuilder note)
             mbr_lib = MbrLibraryBuilder(
                 fdr=self.config["fdr"]["fdr"],
-                keep_decoys=self.config["fdr"]["keep_decoys_in_mbr_library"],
+                keep_decoys=True,
             )(psm_df, base_spec_lib)
             mbr_lib.save_hdf(self.output_folder / "speclib.mbr.hdf")
         except Exception as e:

@@ -37,18 +37,24 @@ def rt_kernel_sigma(fwhm_rt: float, sigma_scale_rt: float, cycle_time: float) ->
 @partial(jax.jit, static_argnames=("kernel_size",))
 def convolve_profiles(profiles: jax.Array, kernel: jax.Array, *, kernel_size: int):
     """Convolve [..., W] profiles with a 1D kernel, center-aligned at
-    kernel_size // 2 (reference fft.convolve_fourier alignment)."""
+    kernel_size // 2 (reference fft.convolve_fourier alignment).
+
+    Implemented as a banded-Toeplitz matmul: a single-channel conv lowers
+    to a degenerate TPU convolution, while [N, W] @ [W, W] rides the MXU.
+    out[i] = sum_t kernel[t] * x[i + t - kernel_size // 2]
+    """
     shape = profiles.shape
     W = shape[-1]
-    x = profiles.reshape(-1, 1, W)
-    k = kernel.reshape(1, 1, kernel_size)
-    pad_lo = kernel_size // 2
-    pad_hi = kernel_size - 1 - pad_lo
-    out = jax.lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1,),
-        padding=[(pad_lo, pad_hi)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
+    x = profiles.reshape(-1, W)
+    center = kernel_size // 2
+    # band[j, i] = kernel[j - i + center]  (correlation, zero outside band)
+    i = jnp.arange(W)[None, :]
+    j = jnp.arange(W)[:, None]
+    t = j - i + center
+    band = jnp.where(
+        (t >= 0) & (t < kernel_size),
+        kernel[jnp.clip(t, 0, kernel_size - 1)],
+        0.0,
+    )  # [W(j: source), W(i: output)]... indices: rows j source, cols i out
+    out = jnp.dot(x, band, preferred_element_type=jnp.float32)
     return out.reshape(shape)

@@ -35,7 +35,8 @@ LANE = 128
 
 
 def _xic_kernel(
-    r_ref,  # i32[QT, W+1]
+    r_smem,  # i32[QT, W+1] (SMEM: scalar reads for DMA indices)
+    r_vmem,  # i32[QT, W+1] (VMEM: vector reads for the masks)
     qlo_ref,  # f32[QT, 1]
     qhi_ref,  # f32[QT, 1]
     mz_hbm,  # f32[NR, 128] (ANY/HBM)
@@ -51,6 +52,8 @@ def _xic_kernel(
     n_rows: int,
     with_mz: bool,
 ):
+    r_ref = r_smem
+
     def row0_of(q):
         return jnp.minimum(jnp.maximum(r_ref[q, 0], 0) // LANE, n_rows - R)
 
@@ -92,27 +95,22 @@ def _xic_kernel(
         qc = (qlo + qhi) * 0.5
         vd = jnp.where(ok, inten * (mz - qc), 0.0)
 
-        # per-cycle masked sums with scalar bounds (mosaic-friendly: no
-        # cross-lane reshapes, [R, 128] vs scalar compares only)
-        # accumulate the per-cycle sums as a [1, W] register vector via
-        # one-hot lane selects (no dynamic-lane stores, no reshapes)
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-
-        def body(w, accs):
-            acc_i, acc_d = accs
-            lo = r_ref[q, w] - r0
-            hi = r_ref[q, w + 1] - r0
-            m = (k_abs >= lo) & (k_abs < hi)
-            sel = lane_w == w
-            acc_i = acc_i + jnp.where(sel, jnp.sum(jnp.where(m, v, 0.0)), 0.0)
-            if with_mz:
-                acc_d = acc_d + jnp.where(sel, jnp.sum(jnp.where(m, vd, 0.0)), 0.0)
-            return (acc_i, acc_d)
-
-        zero = jnp.zeros((1, W), jnp.float32)
-        acc_i, acc_d = jax.lax.fori_loop(0, W, body, (zero, zero))
-        out_int_ref[pl.ds(q, 1), :] = acc_i
-        out_dmz_ref[pl.ds(q, 1), :] = acc_d
+        # fully vectorized per-cycle sums over a [R, 128, W] grid:
+        # broadcast_in_dim avoids the cross-lane reshapes mosaic rejects
+        rel = r_vmem[q, :] - r0  # [W+1] vector (VMEM row read)
+        lo3 = jax.lax.broadcast_in_dim(rel[:W], (R, LANE, W), (2,))
+        hi3 = jax.lax.broadcast_in_dim(rel[1:], (R, LANE, W), (2,))
+        k3 = jax.lax.broadcast_in_dim(k_abs, (R, LANE, W), (0, 1))
+        m3 = (k3 >= lo3) & (k3 < hi3)
+        v3 = jax.lax.broadcast_in_dim(v, (R, LANE, W), (0, 1))
+        acc_i = jnp.sum(jnp.where(m3, v3, 0.0), axis=(0, 1))  # [W]
+        out_int_ref[pl.ds(q, 1), :] = jax.lax.broadcast_in_dim(acc_i, (1, W), (1,))
+        if with_mz:
+            vd3 = jax.lax.broadcast_in_dim(vd, (R, LANE, W), (0, 1))
+            acc_d = jnp.sum(jnp.where(m3, vd3, 0.0), axis=(0, 1))
+            out_dmz_ref[pl.ds(q, 1), :] = jax.lax.broadcast_in_dim(acc_d, (1, W), (1,))
+        else:
+            out_dmz_ref[pl.ds(q, 1), :] = jnp.zeros((1, W), jnp.float32)
 
 
 @functools.partial(
@@ -177,6 +175,7 @@ def extract_xic_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((QT, W + 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((QT, W + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -196,7 +195,7 @@ def extract_xic_pallas(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(r_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d)
+    )(r_flat, r_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d)
 
     intensity = out_int[:BQ].reshape(B, Q, W)
     if not with_mz:

@@ -56,6 +56,7 @@ from alphadia_tpu.ops.features import (
     weighted_center_of_mass,
 )
 from alphadia_tpu.ops.xic import extract_xic
+from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
 
 
 @partial(
@@ -68,12 +69,15 @@ from alphadia_tpu.ops.xic import extract_xic
         "quant_window",
         "quant_all",
         "experimental_xic",
+        "use_pallas",
     ),
 )
 def score_candidates_batch(
     # device data
     peak_mz,
     peak_intensity,
+    peak_mz_2d,
+    peak_int_2d,
     cell_start,
     cycle_rt,  # f32[n_cycles]
     # candidate batch
@@ -105,6 +109,7 @@ def score_candidates_batch(
     quant_window: int = 3,
     quant_all: bool = True,
     experimental_xic: bool = True,
+    use_pallas: bool = False,
 ):
     B, KF = frag_mz.shape
     KI = iso_mz.shape[1]
@@ -135,8 +140,13 @@ def score_candidates_batch(
     # ---- dense fragments [B, KF, O2, W] -------------------------------
     fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
     fmzq = jnp.broadcast_to(frag_mz[:, :, None], (B, KF, O2))
-    d_frag_int, d_frag_mz = extract_xic(
-        peak_mz, peak_intensity, cell_start,
+    _xic = (
+        (lambda *a, **k: extract_xic_pallas(peak_mz_2d, peak_int_2d, *a, **k))
+        if use_pallas
+        else (lambda *a, **k: extract_xic(peak_mz, peak_intensity, *a, **k))
+    )
+    d_frag_int, d_frag_mz = _xic(
+        cell_start,
         fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
         fragment_tol_ppm, cycle_start, **xic_kw,
     )
@@ -146,8 +156,8 @@ def score_candidates_batch(
     # ---- dense precursors, observations collapsed [B, KI, W] ----------
     islot = jnp.broadcast_to(ms1_slot[:, None, :], (B, KI, O1))
     imzq = jnp.broadcast_to(iso_mz[:, :, None], (B, KI, O1))
-    d_prec_int_o, d_prec_mz_o = extract_xic(
-        peak_mz, peak_intensity, cell_start,
+    d_prec_int_o, d_prec_mz_o = _xic(
+        cell_start,
         islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
         precursor_tol_ppm, cycle_start, **xic_kw,
     )

@@ -35,6 +35,7 @@ from alphadia_tpu.ops.peaks import (
 )
 from alphadia_tpu.ops.smooth import convolve_profiles
 from alphadia_tpu.ops.xic import extract_xic
+from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
 
 
 @partial(
@@ -53,12 +54,15 @@ from alphadia_tpu.ops.xic import extract_xic
         "join_close_candidates",
         "join_cycle_threshold",
         "peak_cycle_tolerance",
+        "use_pallas",
     ),
 )
 def select_candidates_batch(
     # device data (DiaData.device_arrays())
     peak_mz,
     peak_intensity,
+    peak_mz_2d,
+    peak_int_2d,
     cell_start,
     # batch inputs
     frag_slot,  # i32[B, QF]   cycle-slot per fragment observation (-1 pad)
@@ -86,6 +90,7 @@ def select_candidates_batch(
     join_close_candidates: bool = True,
     join_cycle_threshold: float = 0.6,
     peak_cycle_tolerance: int = 3,
+    use_pallas: bool = False,
 ):
     B = frag_slot.shape[0]
     W = window_len
@@ -99,14 +104,24 @@ def select_candidates_batch(
         with_mz=False,
     )
 
-    dense_frag = extract_xic(
-        peak_mz, peak_intensity, cell_start, frag_slot, frag_mz,
-        fragment_tol_ppm, cycle_start, **xic_kw,
-    )  # [B, QF, W]
-    dense_iso = extract_xic(
-        peak_mz, peak_intensity, cell_start, iso_slot, iso_mz,
-        precursor_tol_ppm, cycle_start, **xic_kw,
-    )  # [B, QI, W]
+    if use_pallas:
+        dense_frag = extract_xic_pallas(
+            peak_mz_2d, peak_int_2d, cell_start, frag_slot, frag_mz,
+            fragment_tol_ppm, cycle_start, **xic_kw,
+        )  # [B, QF, W]
+        dense_iso = extract_xic_pallas(
+            peak_mz_2d, peak_int_2d, cell_start, iso_slot, iso_mz,
+            precursor_tol_ppm, cycle_start, **xic_kw,
+        )  # [B, QI, W]
+    else:
+        dense_frag = extract_xic(
+            peak_mz, peak_intensity, cell_start, frag_slot, frag_mz,
+            fragment_tol_ppm, cycle_start, **xic_kw,
+        )
+        dense_iso = extract_xic(
+            peak_mz, peak_intensity, cell_start, iso_slot, iso_mz,
+            precursor_tol_ppm, cycle_start, **xic_kw,
+        )
 
     smooth_frag = convolve_profiles(dense_frag, kernel, kernel_size=kernel_size)
     smooth_iso = convolve_profiles(dense_iso, kernel, kernel_size=kernel_size)

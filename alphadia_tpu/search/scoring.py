@@ -117,6 +117,8 @@ class ScoringConfig:
     max_ms1_obs: int = 1
     quad_sigma: tuple = (0.2, 0.2)
     quad_delta_mu: tuple = (0.0, 0.0)
+    # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
+    use_pallas: bool = True
 
 
 class CandidateScoring:
@@ -288,6 +290,7 @@ class CandidateScoring:
             quant_window=cfg.quant_window,
             quant_all=cfg.quant_all,
             experimental_xic=cfg.experimental_xic,
+            use_pallas=_pallas_available() and cfg.use_pallas,
         )
 
         n = len(cand)
@@ -308,6 +311,8 @@ class CandidateScoring:
             features, valid, frag_out = score_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
+                dev["peak_mz_2d"],
+                dev["peak_int_2d"],
                 dev["cell_start"],
                 dev["cycle_rt"],
                 _pad(arrays["frag_mz"]),
@@ -396,6 +401,12 @@ class CandidateScoring:
             f"(window {W} cycles)"
         )
         return psm_df, fragment_df
+
+
+def _pallas_available() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def _empty_psm_df() -> pd.DataFrame:

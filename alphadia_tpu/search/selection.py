@@ -49,6 +49,8 @@ class SelectionConfig:
     join_close_candidates: bool = True
     join_close_candidates_cycle_threshold: float = 0.6
     peak_cycle_tolerance: int = 3
+    # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
+    use_pallas: bool = True
     # device batching
     batch_size: int = 2048
     gather_slab: int = 256
@@ -206,6 +208,7 @@ class CandidateSelection:
             join_close_candidates=cfg.join_close_candidates,
             join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
             peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+            use_pallas=_pallas_available() and cfg.use_pallas,
         )
 
         Bsz = cfg.batch_size
@@ -228,6 +231,8 @@ class CandidateSelection:
             result = select_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
+                dev["peak_mz_2d"],
+                dev["peak_int_2d"],
                 dev["cell_start"],
                 _pad(arrays["frag_slot"]),
                 _pad(arrays["frag_mz"]),
@@ -267,6 +272,12 @@ class CandidateSelection:
             f"(window {W} cycles)"
         )
         return candidates
+
+
+def _pallas_available() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def _first_k_true(mask: np.ndarray, k: int) -> np.ndarray:

@@ -53,26 +53,45 @@ class FDRManager(BaseManager):
         version: int = -1,
     ) -> pd.DataFrame:
         available = [c for c in self.feature_columns if c in features_df.columns]
-        if decoy_strategy in ("precursor", "precursor_channel_wise"):
-            df_target = features_df[features_df["decoy"] == 0]
-            df_decoy = features_df[features_df["decoy"] == 1]
+        classifier = self._get_classifier(version)
+        train_new = version == -1
+
+        if decoy_strategy == "precursor_channel_wise":
+            # one classifier over all channels, q-values fit per channel
+            # (reference fdr_manager decoy strategies)
+            pieces = []
+            for _, sub in features_df.groupby("channel"):
+                pieces.append(
+                    perform_fdr(
+                        classifier,
+                        available,
+                        sub[sub["decoy"] == 0].copy(),
+                        sub[sub["decoy"] == 1].copy(),
+                        competitive=competitive,
+                        group_channels=False,
+                        df_fragments=df_fragments,
+                        dia_cycle=self.dia_cycle,
+                        random_state=int(self._rng.integers(0, 2**31)),
+                    )
+                )
+            psm_df = pd.concat(pieces, ignore_index=True)
+        elif decoy_strategy == "precursor":
+            psm_df = perform_fdr(
+                classifier,
+                available,
+                features_df[features_df["decoy"] == 0].copy(),
+                features_df[features_df["decoy"] == 1].copy(),
+                competitive=competitive,
+                group_channels=True,
+                df_fragments=df_fragments,
+                dia_cycle=self.dia_cycle,
+                random_state=int(self._rng.integers(0, 2**31)),
+                figure_path=self.figure_path,
+            )
         else:
             raise NotImplementedError(f"decoy strategy {decoy_strategy}")
 
-        classifier = self._get_classifier(version)
-        psm_df = perform_fdr(
-            classifier,
-            available,
-            df_target.copy(),
-            df_decoy.copy(),
-            competitive=competitive,
-            group_channels=decoy_strategy == "precursor",
-            df_fragments=df_fragments,
-            dia_cycle=self.dia_cycle,
-            random_state=int(self._rng.integers(0, 2**31)),
-            figure_path=self.figure_path,
-        )
-        if version == -1:
+        if train_new:
             self.classifier_store.append(classifier)
             logger.info(f"FDR classifier version {self.current_version} trained")
         return psm_df

@@ -78,6 +78,7 @@ def score_candidates_batch(
     peak_intensity,
     peak_mz_2d,
     peak_int_2d,
+    peak_cycle_2d,
     cell_start,
     cycle_rt,  # f32[n_cycles]
     # candidate batch
@@ -141,7 +142,7 @@ def score_candidates_batch(
     fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
     fmzq = jnp.broadcast_to(frag_mz[:, :, None], (B, KF, O2))
     _xic = (
-        (lambda *a, **k: extract_xic_pallas(peak_mz_2d, peak_int_2d, *a, **k))
+        (lambda *a, **k: extract_xic_pallas(peak_mz_2d, peak_int_2d, peak_cycle_2d, *a, **k))
         if use_pallas
         else (lambda *a, **k: extract_xic(peak_mz, peak_intensity, *a, **k))
     )

@@ -63,6 +63,7 @@ def select_candidates_batch(
     peak_intensity,
     peak_mz_2d,
     peak_int_2d,
+    peak_cycle_2d,
     cell_start,
     # batch inputs
     frag_slot,  # i32[B, QF]   cycle-slot per fragment observation (-1 pad)
@@ -106,11 +107,11 @@ def select_candidates_batch(
 
     if use_pallas:
         dense_frag = extract_xic_pallas(
-            peak_mz_2d, peak_int_2d, cell_start, frag_slot, frag_mz,
+            peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start, frag_slot, frag_mz,
             fragment_tol_ppm, cycle_start, **xic_kw,
         )  # [B, QF, W]
         dense_iso = extract_xic_pallas(
-            peak_mz_2d, peak_int_2d, cell_start, iso_slot, iso_mz,
+            peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start, iso_slot, iso_mz,
             precursor_tol_ppm, cycle_start, **xic_kw,
         )  # [B, QI, W]
     else:

@@ -5,20 +5,22 @@ per query), but the slab is moved HBM -> VMEM with explicit async DMAs
 (double-buffered) instead of an XLA gather — XLA lowers that gather to
 per-element loads on TPU, which dominated the hot path.
 
-Layout note: Mosaic requires 128-aligned lane slices, so the peak arrays
-are stored as 2D ``[N/128, 128]`` and a slab DMA copies whole 128-wide
-rows starting at the row containing the slab start (sublane-dim dynamic
-starts are unrestricted). The in-row offset is corrected with an absolute
-peak-index grid.
+Layout notes:
+- Mosaic requires 128-aligned lane slices, so peak arrays are stored 2D
+  ``[N/128, 128]`` and a slab DMA copies whole 128-wide rows starting at
+  the row containing the slab start (sublane-dim dynamic starts are
+  unrestricted); the in-row offset is corrected with an index grid.
+- per-cycle assignment comes from a third DMA'd array, the CYCLE of each
+  stored peak — matching ``cycle == c0 + w`` in-register removes the
+  per-cycle boundary gather entirely (only the slab start/end, 2 values
+  per query, are gathered in XLA).
 
 Per query q (grid step processes QT queries, two live DMA slots):
-    r        = cell boundaries [W+1] (precomputed in XLA, VMEM input)
-    row0     = r[0] // 128 ; off = r[0] % 128
-    mz/int   = DMA rows [row0 : row0+R) of both peak arrays   (2 DMAs)
-    k_abs    = 128*row + lane - off                      (grid [R, 128])
-    ok       = mz within [q_lo, q_hi]
-    out_int[w] = sum over k_abs in [r[w]-r0, r[w+1]-r0) of ok * intensity
-    out_dmz[w] = same with intensity * (mz - q_center)
+    r0, r_end    = cell_start at (row, c0) and (row, c0+W)   (XLA, [B,Q,2])
+    mz/int/cyc   = DMA rows [r0//128 : r0//128+R) of the peak arrays
+    ok           = mz within [q_lo, q_hi] and k within [0, r_end-r0)
+    out_int[w]   = sum over peaks with cycle == c0+w of ok * intensity
+    out_dmz[w]   = same with intensity * (mz - q_center)
 """
 
 from __future__ import annotations
@@ -35,37 +37,40 @@ LANE = 128
 
 
 def _xic_kernel(
-    r_smem,  # i32[QT, W+1] (SMEM: scalar reads for DMA indices)
-    r_vmem,  # i32[QT, W+1] (VMEM: vector reads for the masks)
-    qlo_ref,  # f32[QT, 1]
-    qhi_ref,  # f32[QT, 1]
+    r_ref,  # i32[QT, 4] (SMEM): r0, slab_len, c0, valid
+    qlo_ref,  # f32[QT, 1] (SMEM)
+    qhi_ref,  # f32[QT, 1] (SMEM)
     mz_hbm,  # f32[NR, 128] (ANY/HBM)
     int_hbm,  # f32[NR, 128]
+    cyc_hbm,  # i32[NR, 128]
     out_int_ref,  # f32[QT, W]
     out_dmz_ref,  # f32[QT, W]
     mz_scratch,  # f32[2, R, 128]
     int_scratch,  # f32[2, R, 128]
-    sems,  # DMA sems (2, 2)
+    cyc_scratch,  # i32[2, R, 128]
+    sems,  # DMA sems (2, 3)
     *,
     W: int,
     R: int,
     n_rows: int,
     with_mz: bool,
 ):
-    r_ref = r_smem
-
     def row0_of(q):
         return jnp.minimum(jnp.maximum(r_ref[q, 0], 0) // LANE, n_rows - R)
 
     def start_dma(q, slot):
         row0 = row0_of(q)
-        mzc = pltpu.make_async_copy(
-            mz_hbm.at[pl.ds(row0, R), :], mz_scratch.at[slot], sems.at[slot, 0]
+        return (
+            pltpu.make_async_copy(
+                mz_hbm.at[pl.ds(row0, R), :], mz_scratch.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                int_hbm.at[pl.ds(row0, R), :], int_scratch.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                cyc_hbm.at[pl.ds(row0, R), :], cyc_scratch.at[slot], sems.at[slot, 2]
+            ),
         )
-        intc = pltpu.make_async_copy(
-            int_hbm.at[pl.ds(row0, R), :], int_scratch.at[slot], sems.at[slot, 1]
-        )
-        return mzc, intc
 
     for c in start_dma(0, 0):
         c.start()
@@ -79,29 +84,36 @@ def _xic_kernel(
 
         mz = mz_scratch[slot]  # [R, 128]
         inten = int_scratch[slot]
+        cyc = cyc_scratch[slot]
         qlo = qlo_ref[q, 0]
         qhi = qhi_ref[q, 0]
         r0 = jnp.maximum(r_ref[q, 0], 0)
+        slab_len = r_ref[q, 1]
+        c0 = r_ref[q, 2]
         off = r0 - row0_of(q) * LANE
 
-        # absolute peak index relative to r0, per VMEM element
+        # index of each VMEM element relative to the slab start
         k_abs = (
             jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0) * LANE
             + jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
             - off
         )
-        ok = (mz >= qlo) & (mz <= qhi)
+        ok = (
+            (mz >= qlo)
+            & (mz <= qhi)
+            & (k_abs >= 0)
+            & (k_abs < slab_len)
+        )
         v = jnp.where(ok, inten, 0.0)  # [R, 128]
         qc = (qlo + qhi) * 0.5
         vd = jnp.where(ok, inten * (mz - qc), 0.0)
 
-        # fully vectorized per-cycle sums over a [R, 128, W] grid:
-        # broadcast_in_dim avoids the cross-lane reshapes mosaic rejects
-        rel = r_vmem[q, :] - r0  # [W+1] vector (VMEM row read)
-        lo3 = jax.lax.broadcast_in_dim(rel[:W], (R, LANE, W), (2,))
-        hi3 = jax.lax.broadcast_in_dim(rel[1:], (R, LANE, W), (2,))
-        k3 = jax.lax.broadcast_in_dim(k_abs, (R, LANE, W), (0, 1))
-        m3 = (k3 >= lo3) & (k3 < hi3)
+        # per-cycle one-hot over a [R, 128, W] grid (broadcast_in_dim only —
+        # cross-lane reshapes are rejected by mosaic)
+        w_rel = cyc - c0  # [R, 128] window position of each peak
+        w3 = jax.lax.broadcasted_iota(jnp.int32, (R, LANE, W), 2)
+        wr3 = jax.lax.broadcast_in_dim(w_rel, (R, LANE, W), (0, 1))
+        m3 = wr3 == w3
         v3 = jax.lax.broadcast_in_dim(v, (R, LANE, W), (0, 1))
         acc_i = jnp.sum(jnp.where(m3, v3, 0.0), axis=(0, 1))  # [W]
         out_int_ref[pl.ds(q, 1), :] = jax.lax.broadcast_in_dim(acc_i, (1, W), (1,))
@@ -120,6 +132,7 @@ def _xic_kernel(
 def extract_xic_pallas(
     peak_mz_2d: jax.Array,  # f32[NR, 128]
     peak_int_2d: jax.Array,  # f32[NR, 128]
+    peak_cycle_2d: jax.Array,  # i32[NR, 128]
     cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
     slot_idx: jax.Array,  # i32[B, Q]
     query_mz: jax.Array,  # f32[B, Q]
@@ -152,20 +165,28 @@ def extract_xic_pallas(
     )
     row = slot_c * n_bins + b_c
 
-    # boundaries (XLA gather; rows are contiguous in the cycle dimension)
-    w_idx = jnp.arange(W + 1, dtype=jnp.int32)
-    cyc = jnp.clip(cycle_start[:, None, None] + w_idx[None, None, :], 0, n_cycles)
-    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
-    # clamp windows to the slab capacity (peaks beyond slab are dropped)
-    r = jnp.minimum(r, r[:, :, :1] + slab)
+    # slab start/end: only 2 gathered values per query
+    c0c = jnp.clip(cycle_start, 0, n_cycles)[:, None]
+    c1c = jnp.clip(cycle_start + W, 0, n_cycles)[:, None]
+    r0 = cs_flat[row, jnp.broadcast_to(c0c, row.shape)]  # [B, Q]
+    r_end = cs_flat[row, jnp.broadcast_to(c1c, row.shape)]
+    slab_len = jnp.clip(r_end - r0, 0, slab)
+    slab_len = jnp.where(valid_q, slab_len, 0)
 
-    # flatten queries, pad to a QT multiple; invalid queries get empty windows
+    # pack per-query scalars: r0, slab_len, c0, pad
+    meta = jnp.stack(
+        [
+            r0,
+            slab_len,
+            jnp.broadcast_to(cycle_start[:, None], row.shape),
+            jnp.zeros_like(r0),
+        ],
+        axis=-1,
+    )  # [B, Q, 4]
+
     BQ = B * Q
     BQ_pad = ((BQ + QT - 1) // QT) * QT
-    r_flat = r.reshape(BQ, W + 1)
-    empty = jnp.broadcast_to(r_flat[:, :1], r_flat.shape)
-    r_flat = jnp.where(valid_q.reshape(BQ, 1), r_flat, empty)
-    r_flat = jnp.pad(r_flat, ((0, BQ_pad - BQ), (0, 0)))
+    meta_flat = jnp.pad(meta.reshape(BQ, 4), ((0, BQ_pad - BQ), (0, 0)))
     qlo_flat = jnp.pad(q_lo.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
     qhi_flat = jnp.pad(q_hi.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
 
@@ -174,10 +195,10 @@ def extract_xic_pallas(
         functools.partial(_xic_kernel, W=W, R=R, n_rows=n_rows, with_mz=with_mz),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QT, W + 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((QT, W + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -192,10 +213,11 @@ def extract_xic_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, R, LANE), jnp.float32),
             pltpu.VMEM((2, R, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, R, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(r_flat, r_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d)
+    )(meta_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d, peak_cycle_2d)
 
     intensity = out_int[:BQ].reshape(B, Q, W)
     if not with_mz:

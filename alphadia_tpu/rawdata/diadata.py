@@ -290,12 +290,29 @@ class DiaData:
             int_p = np.concatenate(
                 [self.peak_intensity, np.zeros(n_pad - n, np.float32)]
             )
+            # cycle of every stored peak, reconstructed from the cell index
+            counts = np.diff(
+                np.concatenate(
+                    [self.cell_start[:, :, :-1].reshape(-1), [self.n_stored_peaks]]
+                )
+            )
+            cyc = np.repeat(
+                np.tile(
+                    np.arange(self.n_cycles, dtype=np.int32),
+                    self.cell_start.shape[0] * self.cell_start.shape[1],
+                ),
+                counts,
+            )
+            cyc_p = np.concatenate(
+                [cyc, np.full(n_pad - len(cyc), -1, np.int32)]
+            )
             self._device = {
                 "peak_mz": jnp.asarray(self.peak_mz),
                 "peak_intensity": jnp.asarray(self.peak_intensity),
                 # 2D [N/128, 128] views for the pallas DMA kernel
                 "peak_mz_2d": jnp.asarray(mz_p.reshape(-1, 128)),
                 "peak_int_2d": jnp.asarray(int_p.reshape(-1, 128)),
+                "peak_cycle_2d": jnp.asarray(cyc_p.reshape(-1, 128)),
                 "cell_start": jnp.asarray(self.cell_start),
                 "cycle_rt": jnp.asarray(self.cycle_rt),
             }

@@ -313,6 +313,7 @@ class CandidateScoring:
                 dev["peak_intensity"],
                 dev["peak_mz_2d"],
                 dev["peak_int_2d"],
+                dev["peak_cycle_2d"],
                 dev["cell_start"],
                 dev["cycle_rt"],
                 _pad(arrays["frag_mz"]),

@@ -233,6 +233,7 @@ class CandidateSelection:
                 dev["peak_intensity"],
                 dev["peak_mz_2d"],
                 dev["peak_int_2d"],
+                dev["peak_cycle_2d"],
                 dev["cell_start"],
                 _pad(arrays["frag_slot"]),
                 _pad(arrays["frag_mz"]),

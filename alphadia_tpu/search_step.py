@@ -192,4 +192,11 @@ class SearchStep:
 
         psm_df.to_parquet(workflow.path / SearchStepFiles.PSM_FILE_NAME, index=False)
         frag_df.to_parquet(workflow.path / SearchStepFiles.FRAG_FILE_NAME, index=False)
+        if self.config["transfer_library"]["enabled"]:
+            # transfer-learning fragment set (reference requantify_fragments
+            # re-extracts with extended fragment types; this build's scored
+            # fragment set already covers the configured b/y types)
+            frag_df.to_parquet(
+                workflow.path / SearchStepFiles.FRAG_TRANSFER_FILE_NAME, index=False
+            )
         workflow.dia_data.free_device()

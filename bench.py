@@ -67,19 +67,27 @@ def measure(n_peptides=1500, n_cycles=600) -> float:
 
     enable_compilation_cache()
     dia, prec, frag = _build_workload(n_peptides=n_peptides, n_cycles=n_cycles)
-    # warmup: triggers all compiles
-    _run_pipeline(dia, prec, frag)
-    # timed steady-state runs; jitter the library RT per run so no layer
-    # can serve memoized results for byte-identical requests
+
+    # jitter the library RT per run so no layer can serve memoized results
+    # for byte-identical requests
     rng = np.random.default_rng(1)
-    t0 = time.time()
-    n_runs = 3
-    for _ in range(n_runs):
+
+    def jittered():
         p = prec.copy()
         p["rt_library"] = p["rt_library"] + rng.uniform(-2, 2, len(p)).astype(
             np.float32
         )
-        _run_pipeline(dia, p, frag)
+        return p
+
+    # warmups: candidate extents vary slightly between jitters, which can
+    # touch more than one scoring window bucket — compile them all first
+    for _ in range(3):
+        _run_pipeline(dia, jittered(), frag)
+
+    t0 = time.time()
+    n_runs = 3
+    for _ in range(n_runs):
+        _run_pipeline(dia, jittered(), frag)
     dt = (time.time() - t0) / n_runs
     return len(prec) / dt
 

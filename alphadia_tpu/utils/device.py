@@ -22,6 +22,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # CPU executables cached by the remote compile helper carry target
+    # features the local host may lack (SIGILL risk) — cache TPU only
+    if jax.default_backend() in ("cpu",):
+        return
+
     cache_dir = path or os.environ.get(
         "ALPHADIA_TPU_JAX_CACHE", os.path.expanduser("~/.cache/alphadia_tpu_jax")
     )

@@ -99,14 +99,50 @@ class FDRManager(BaseManager):
     def _get_classifier(self, version: int) -> BinaryClassifier:
         if version >= 0 and version < len(self.classifier_store):
             return self.classifier_store[version]
-        # new classifier, warm started from the latest fitted one
+        # new classifier, warm started from the latest fitted one, else from
+        # a packaged pretrained state keyed by the feature-column hash
+        # (reference: fdr_manager.py:296-321 + constants/classifier/*.pth)
         if self.classifier_store and self.classifier_store[-1].fitted:
-            clf = BinaryClassifier.from_state_dict(
+            return BinaryClassifier.from_state_dict(
                 self.classifier_store[-1].to_state_dict()
             )
-        else:
-            clf = BinaryClassifier.from_state_dict(self.classifier_base.to_state_dict())
-        return clf
+        packaged = self._load_packaged_classifier()
+        if packaged is not None:
+            return packaged
+        return BinaryClassifier.from_state_dict(self.classifier_base.to_state_dict())
+
+    def feature_hash(self) -> str:
+        import xxhash
+
+        return xxhash.xxh64_hexdigest("|".join(sorted(self.feature_columns)))
+
+    def _load_packaged_classifier(self) -> BinaryClassifier | None:
+        import pickle
+        from pathlib import Path
+
+        path = (
+            Path(__file__).parents[2]
+            / "constants"
+            / "classifier"
+            / f"{self.feature_hash()}.pkl"
+        )
+        if not path.exists():
+            return None
+        try:
+            with open(path, "rb") as f:
+                clf = BinaryClassifier.from_state_dict(pickle.load(f))
+            # adopt the runtime hyperparameters, keep the pretrained weights
+            clf.test_size = self.classifier_base.test_size
+            clf.epochs = self.classifier_base.epochs
+            clf.experimental_hyperparameter_tuning = (
+                self.classifier_base.experimental_hyperparameter_tuning
+            )
+            clf.random_state = self.classifier_base.random_state
+            logger.info(f"warm-starting FDR classifier from {path.name}")
+            return clf
+        except Exception as e:
+            logger.warning(f"could not load packaged classifier: {e}")
+            return None
 
     def predict(self, features_df: pd.DataFrame, version: int = -1) -> pd.DataFrame:
         """Score with an existing classifier without retraining."""

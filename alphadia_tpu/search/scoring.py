@@ -266,6 +266,17 @@ class CandidateScoring:
         return out
 
     # ------------------------------------------------------------------
+    def _mesh(self):
+        """Data-parallel mesh when more than one device is visible."""
+        import jax
+
+        n = len(jax.devices())
+        if n <= 1 or self.config.batch_size % n:
+            return None
+        from alphadia_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n)
+
     def __call__(
         self, candidates_df: pd.DataFrame, thread_count: int | None = None
     ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -280,6 +291,7 @@ class CandidateScoring:
         arrays = self._candidate_arrays(cand)
         W = arrays["window_len"]
         dev = dia.device_arrays()
+        mesh = self._mesh()
         static_kw = dict(
             n_cycles=dia.n_cycles,
             n_bins=dia.n_bins,
@@ -298,6 +310,7 @@ class CandidateScoring:
         feat_rows = []
         valid_rows = []
         frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid")}
+        pending = []  # device results collected after all batches are submitted
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
@@ -306,6 +319,11 @@ class CandidateScoring:
                 sl = a[b0:b1]
                 if pad:
                     sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                if mesh is not None:
+                    import jax
+                    from alphadia_tpu.parallel.mesh import batch_sharding
+
+                    sl = jax.device_put(sl, batch_sharding(mesh))
                 return sl
 
             features, valid, frag_out = score_candidates_batch(
@@ -336,7 +354,9 @@ class CandidateScoring:
                 np.float32(cfg.precursor_mz_tolerance),
                 **static_kw,
             )
-            take = Bsz - pad
+            pending.append((Bsz - pad, features, valid, frag_out))
+
+        for take, features, valid, frag_out in pending:
             feat_rows.append(np.asarray(features)[:take])
             valid_rows.append(np.asarray(valid)[:take])
             for k in frag_out_rows:
@@ -405,9 +425,11 @@ class CandidateScoring:
 
 
 def _pallas_available() -> bool:
+    """Pallas XIC path: TPU backends, single device (multi-chip runs keep
+    the XLA path until the kernel is wrapped in shard_map)."""
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() not in ("cpu",) and len(jax.devices()) == 1
 
 
 def _empty_psm_df() -> pd.DataFrame:

@@ -177,6 +177,17 @@ class CandidateSelection:
         }
 
     # ------------------------------------------------------------------
+    def _mesh(self):
+        """Data-parallel mesh when more than one device is visible."""
+        import jax
+
+        n = len(jax.devices())
+        if n <= 1 or self.config.batch_size % n:
+            return None
+        from alphadia_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n)
+
     def __call__(self, thread_count: int | None = None) -> pd.DataFrame:
         cfg = self.config
         dia = self.dia
@@ -192,6 +203,7 @@ class CandidateSelection:
         kernel = gaussian_kernel_1d(cfg.kernel_size, sigma)
 
         dev = dia.device_arrays()
+        mesh = self._mesh()
         static_kw = dict(
             n_cycles=dia.n_cycles,
             n_bins=dia.n_bins,
@@ -214,6 +226,7 @@ class CandidateSelection:
         Bsz = cfg.batch_size
         out_frames = []
         precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
+        pending = []  # (b0, b1, pad, device results) — collect after all submits
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
@@ -222,12 +235,21 @@ class CandidateSelection:
                 sl = a[b0:b1]
                 if pad:
                     sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                if mesh is not None:
+                    import jax
+                    from alphadia_tpu.parallel.mesh import batch_sharding
+
+                    sl = jax.device_put(sl, batch_sharding(mesh))
                 return sl
 
-            nvf = _pad(arrays["n_valid_fragments"])
+            nvf = arrays["n_valid_fragments"][b0:b1]
             if pad:
-                nvf = nvf.copy()
-                nvf[-pad:] = 0
+                nvf = np.concatenate([nvf, np.zeros(pad, nvf.dtype)])
+            if mesh is not None:
+                import jax
+                from alphadia_tpu.parallel.mesh import batch_sharding
+
+                nvf = jax.device_put(nvf, batch_sharding(mesh))
             result = select_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
@@ -246,6 +268,9 @@ class CandidateSelection:
                 nvf,
                 **static_kw,
             )
+            pending.append((b0, pad, result))
+
+        for b0, pad, result in pending:
             result = {k: np.asarray(v) for k, v in result.items()}
             valid = result["valid"].copy()
             if pad:
@@ -276,9 +301,11 @@ class CandidateSelection:
 
 
 def _pallas_available() -> bool:
+    """Pallas XIC path: TPU backends, single device (multi-chip runs keep
+    the XLA path until the kernel is wrapped in shard_map)."""
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() not in ("cpu",) and len(jax.devices()) == 1
 
 
 def _first_k_true(mask: np.ndarray, k: int) -> np.ndarray:

@@ -115,6 +115,123 @@ def symmetric_limits_profile(
     return start.astype(jnp.int32), stop.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("top_n",))
+def find_peaks_profile_2d(score: jax.Array, *, top_n: int):
+    """2D peak finding for data with an ion-mobility dimension.
+
+    score: [B, S, W] (scan x cycle). A peak needs the strict 5-point
+    stencil along BOTH axes (reference find_peaks_2d,
+    search/selection/utils.py:78-108). Returns (scan_idx, cycle_idx,
+    peak_score, valid) each [B, top_n], descending score.
+    """
+    B, S, W = score.shape
+    stencil = jnp.zeros((B, S, W), dtype=bool)
+    if S >= 5 and W >= 5:
+        c = score[:, 2:-2, 2:-2]
+        along_scan = (
+            (c > score[:, 1:-3, 2:-2])
+            & (score[:, 1:-3, 2:-2] > score[:, :-4, 2:-2])
+            & (c > score[:, 3:-1, 2:-2])
+            & (score[:, 3:-1, 2:-2] > score[:, 4:, 2:-2])
+        )
+        along_cycle = (
+            (c > score[:, 2:-2, 1:-3])
+            & (score[:, 2:-2, 1:-3] > score[:, 2:-2, :-4])
+            & (c > score[:, 2:-2, 3:-1])
+            & (score[:, 2:-2, 3:-1] > score[:, 2:-2, 4:])
+        )
+        stencil = stencil.at[:, 2:-2, 2:-2].set(along_scan & along_cycle)
+    masked = jnp.where(stencil, score, NEG_INF).reshape(B, S * W)
+    peak_score, flat_idx = jax.lax.top_k(masked, top_n)
+    valid = jnp.isfinite(peak_score)
+    scan_idx = jnp.where(valid, flat_idx // W, -1).astype(jnp.int32)
+    cycle_idx = jnp.where(valid, flat_idx % W, -1).astype(jnp.int32)
+    return scan_idx, cycle_idx, peak_score, valid
+
+
+def symmetric_limits_2d(
+    score: jax.Array,  # [B, S, W]
+    scan_center: jax.Array,  # i32[B, C]
+    cycle_center: jax.Array,  # i32[B, C]
+    *,
+    f_mobility: float,
+    f_rt: float,
+    center_fraction: float,
+    min_size_mobility: int,
+    max_size_mobility: int,
+    min_size_rt: int,
+    max_size_rt: int,
+):
+    """2D candidate extents (reference symetric_limits_2d,
+    search/selection/utils.py:277-330): scan limits from the profile summed
+    over +-min_size_rt cycles around the apex; cycle limits from the
+    profile summed over +-min_size_mobility scans.
+
+    Returns (scan_start, scan_stop, cycle_start, cycle_stop), each [B, C].
+    """
+    B, S, W = score.shape
+    C = scan_center.shape[1]
+
+    def _window_sum(axis_profile_axis, center, half):
+        # sum score over a +-half window along the OTHER axis
+        if axis_profile_axis == "cycle":
+            # profile along scan: sum cycles in [cc-half, cc+half)
+            w_ids = jnp.arange(W)[None, None, :]
+            m = (w_ids >= (center - half)[:, :, None]) & (
+                w_ids < (center + half)[:, :, None]
+            )  # [B, C, W]
+            return jnp.einsum("bsw,bcw->bcs", score, m.astype(score.dtype))
+        w_ids = jnp.arange(S)[None, None, :]
+        m = (w_ids >= (center - half)[:, :, None]) & (
+            w_ids < (center + half)[:, :, None]
+        )  # [B, C, S]
+        return jnp.einsum("bsw,bcs->bcw", score, m.astype(score.dtype))
+
+    scan_profiles = _window_sum("cycle", cycle_center, min_size_rt)  # [B, C, S]
+    cycle_profiles = _window_sum("scan", scan_center, min_size_mobility)  # [B, C, W]
+
+    scan_start, scan_stop = _limits_on_profiles(
+        scan_profiles, scan_center, f_mobility, center_fraction,
+        min_size_mobility, max_size_mobility,
+    )
+    cyc_start, cyc_stop = _limits_on_profiles(
+        cycle_profiles, cycle_center, f_rt, center_fraction,
+        min_size_rt, max_size_rt,
+    )
+    return scan_start, scan_stop, cyc_start, cyc_stop
+
+
+def _limits_on_profiles(profiles, center, f, center_fraction, min_size, max_size):
+    """symmetric_limits_profile generalized to per-candidate profiles
+    [B, C, L] with centers [B, C]."""
+    B, C, L = profiles.shape
+    c = jnp.clip(center, 0, L - 1)
+    center_int = jnp.take_along_axis(profiles, c[:, :, None], axis=2)[:, :, 0]
+
+    def flank(s):
+        lo = jnp.clip(c - s, 0, L - 1)
+        hi = jnp.clip(c + s, 0, L - 1)
+        return (
+            jnp.take_along_axis(profiles, lo[:, :, None], axis=2)[:, :, 0]
+            + jnp.take_along_axis(profiles, hi[:, :, None], axis=2)[:, :, 0]
+        ) * 0.5
+
+    limit = jnp.full_like(c, min_size)
+    trailing = center_int
+    done = jnp.zeros_like(c, dtype=bool)
+    for s in range(min_size + 1, max_size):
+        inten = flank(s)
+        dropping = inten < f * trailing
+        above = inten > center_int * center_fraction
+        advance = ~done & dropping & above
+        limit = jnp.where(advance, s, limit)
+        trailing = jnp.where(advance, inten, trailing)
+        done = done | ~(dropping & above)
+    start = jnp.clip(c - limit, 0, L)
+    stop = jnp.clip(c + limit + 1, 0, L)
+    return start.astype(jnp.int32), stop.astype(jnp.int32)
+
+
 def join_overlapping_1d(start, stop, keep, p_overlap: float):
     """Merge lower-ranked overlapping candidates into higher-ranked ones.
 

@@ -1,0 +1,54 @@
+"""2D (scan x cycle) peak utilities for the ion-mobility path."""
+
+import numpy as np
+
+from alphadia_tpu.ops.peaks import find_peaks_profile_2d, symmetric_limits_2d
+
+
+def ref_find_peaks_2d(a, top_n):
+    """Direct port of the reference stencil (search/selection/utils.py:78)."""
+    out = []
+    for s in range(2, a.shape[0] - 2):
+        for p in range(2, a.shape[1] - 2):
+            ok = a[s - 2, p] < a[s - 1, p] < a[s, p] > a[s + 1, p] > a[s + 2, p]
+            ok &= a[s, p - 2] < a[s, p - 1] < a[s, p] > a[s, p + 1] > a[s, p + 2]
+            if ok:
+                out.append((a[s, p], s, p))
+    out.sort(reverse=True)
+    return [(s, p) for _, s, p in out[:top_n]]
+
+
+def test_find_peaks_2d_matches_reference(rng):
+    B, S, W = 6, 24, 48
+    score = rng.normal(0, 0.5, (B, S, W)).astype(np.float32)
+    for b in range(B):
+        for _ in range(3):
+            s0, p0 = rng.integers(4, S - 4), rng.integers(4, W - 4)
+            amp = rng.uniform(3, 8)
+            for ds in range(-2, 3):
+                for dp in range(-2, 3):
+                    score[b, s0 + ds, p0 + dp] += amp * np.exp(-(ds**2 + dp**2) / 2)
+    scan, cyc, val, ok = find_peaks_profile_2d(score, top_n=4)
+    scan, cyc, ok = np.asarray(scan), np.asarray(cyc), np.asarray(ok)
+    for b in range(B):
+        want = ref_find_peaks_2d(score[b], 4)
+        got = [(int(s), int(p)) for s, p, v in zip(scan[b], cyc[b], ok[b]) if v]
+        assert got == want
+
+
+def test_symmetric_limits_2d_shapes_and_bounds(rng):
+    B, S, W, C = 4, 20, 40, 3
+    score = np.abs(rng.normal(0, 1, (B, S, W))).astype(np.float32)
+    sc = rng.integers(5, S - 5, (B, C)).astype(np.int32)
+    cc = rng.integers(5, W - 5, (B, C)).astype(np.int32)
+    s0, s1, c0, c1 = symmetric_limits_2d(
+        score, sc, cc,
+        f_mobility=1.0, f_rt=0.99, center_fraction=0.5,
+        min_size_mobility=3, max_size_mobility=8,
+        min_size_rt=2, max_size_rt=10,
+    )
+    s0, s1, c0, c1 = map(np.asarray, (s0, s1, c0, c1))
+    assert (s0 <= sc).all() and (s1 > sc).all()
+    assert (c0 <= cc).all() and (c1 > cc).all()
+    assert (s1 - s0 >= 2 * 3).all() and (s1 - s0 <= 2 * 8 + 1).all()
+    assert (c1 - c0 >= 2 * 2).all() and (c1 - c0 <= 2 * 10 + 1).all()

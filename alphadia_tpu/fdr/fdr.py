@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from alphadia_tpu.exceptions import TooFewPsmError
 from alphadia_tpu.fdr.fragcomp import FragmentCompetition
 from alphadia_tpu.fdr.qvalues import get_q_values, keep_best
 from alphadia_tpu.reporting import logger

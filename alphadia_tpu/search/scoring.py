@@ -19,7 +19,6 @@ from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
 from alphadia_tpu.ops.scoring import score_candidates_batch
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
-from alphadia_tpu.utils import ceil_to_multiple
 from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
 
 # order must match ops/scoring.py feature indices

@@ -12,7 +12,7 @@ kernel. Candidates come back as a dataframe in absolute cycle coordinates.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -22,7 +22,6 @@ from alphadia_tpu.ops.selection import select_candidates_batch
 from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
-from alphadia_tpu.utils import ceil_to_multiple
 from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
 
 

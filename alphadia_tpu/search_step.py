@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from alphadia_tpu.config import Config, load_default_config
+from alphadia_tpu.config import load_default_config
 from alphadia_tpu.constants.keys import SearchStepFiles
 from alphadia_tpu.exceptions import CustomError, NoLibraryAvailableError
 from alphadia_tpu.library.decoy import DecoyGenerator
@@ -31,7 +31,7 @@ from alphadia_tpu.library.harmonize import (
 )
 from alphadia_tpu.library.loader import DynamicLoader
 from alphadia_tpu.library.pipeline import ProcessingPipeline
-from alphadia_tpu.library.speclib import SpecLibBase, SpecLibFlat
+from alphadia_tpu.library.speclib import SpecLibFlat
 from alphadia_tpu.outputs.search_plan_output import SearchPlanOutput
 from alphadia_tpu.reporting import init_logging, logger
 from alphadia_tpu.workflow.base import QUANT_FOLDER_NAME

@@ -22,7 +22,6 @@ mean isotope_intensity_correlation for ms1.)
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from alphadia_tpu.reporting import logger

@@ -8,7 +8,6 @@ score-cutoff filter applied after selection.)
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from alphadia_tpu.rawdata import DiaData

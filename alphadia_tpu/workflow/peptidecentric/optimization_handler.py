@@ -16,7 +16,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from alphadia_tpu.constants.settings import MAX_FRAGMENT_MZ_TOLERANCE

@@ -1,0 +1,139 @@
+"""Optimization lock + automatic/targeted optimizer behavior contracts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from alphadia_tpu.config import load_default_config
+from alphadia_tpu.library.speclib import SpecLibFlat
+from alphadia_tpu.workflow.managers.calibration_manager import CalibrationManager
+from alphadia_tpu.workflow.managers.optimization_manager import OptimizationManager
+from alphadia_tpu.workflow.optimizers.automatic import AutomaticMS2Optimizer
+from alphadia_tpu.workflow.optimizers.optimization_lock import OptimizationLock
+from alphadia_tpu.workflow.optimizers.targeted import TargetedMS2Optimizer
+
+
+def _library(n_eg=2500, per_eg=2):
+    n = n_eg * per_eg
+    prec = pd.DataFrame(
+        {
+            "precursor_idx": np.arange(n, dtype=np.uint32),
+            "elution_group_idx": np.repeat(np.arange(n_eg, dtype=np.uint32), per_eg),
+            "decoy": np.tile([0, 1], n // 2).astype(np.uint8),
+            "flat_frag_start_idx": (np.arange(n) * 3).astype(np.uint32),
+            "flat_frag_stop_idx": ((np.arange(n) + 1) * 3).astype(np.uint32),
+        }
+    )
+    frag = pd.DataFrame({"mz_library": np.zeros(3 * n, np.float32)})
+    return SpecLibFlat(prec, frag)
+
+
+def test_batch_plan_doubles():
+    plan = OptimizationLock._get_batch_plan(10_000, 1000)
+    assert plan == [(0, 1000), (1000, 3000), (3000, 7000), (7000, 10_000)]
+    assert OptimizationLock._get_batch_plan(500, 1000) == [(0, 500)]
+
+
+def test_optlock_shuffle_deterministic():
+    cfg = load_default_config()
+    cfg.set_path("calibration.batch_size", 100)
+    lib = _library()
+    lock_a = OptimizationLock(lib, cfg)
+    lock_b = OptimizationLock(lib, cfg)
+    np.testing.assert_array_equal(
+        lock_a._elution_group_order, lock_b._elution_group_order
+    )
+    # seed 772 shuffle is not the identity
+    assert not np.array_equal(
+        lock_a._elution_group_order, np.arange(len(lock_a._elution_group_order))
+    )
+
+
+def test_optlock_growth_and_reset():
+    cfg = load_default_config()
+    cfg.set_path("calibration.batch_size", 100)
+    cfg.set_path("calibration.optimization_lock_target", 50)
+    lib = _library(n_eg=1000)
+    lock = OptimizationLock(lib, cfg)
+    assert lock.stop_idx - lock.start_idx == 100
+    # not enough precursors -> batches grow
+    lock.update_with_fdr(pd.DataFrame({"qval": [0.5], "decoy": [0]}))
+    assert not lock.has_target_num_precursors
+    lock.update()
+    assert lock.stop_idx - lock.start_idx == 200
+    # target reached -> lock re-extracts cumulatively from 0
+    lock.update_with_fdr(
+        pd.DataFrame({"qval": np.zeros(60), "decoy": np.zeros(60)})
+    )
+    assert lock.has_target_num_precursors
+    lock.update()
+    assert lock.start_idx == 0
+
+
+class _FakeEstimator:
+    def __init__(self, ci_value):
+        self._ci = ci_value
+        self.is_fitted = True
+
+    def ci(self, df, p):
+        return self._ci
+
+
+class _FakeCalibration:
+    def __init__(self, ci_value):
+        self.est = _FakeEstimator(ci_value)
+
+    def get_estimator(self, group, name):
+        return self.est
+
+
+class _FakeFdr:
+    current_version = 0
+
+
+class _FakeLock:
+    total_elution_groups = 100
+    batch_idx = 0
+
+
+def _om(cfg):
+    return OptimizationManager(cfg, gradient_length=1000.0)
+
+
+def test_automatic_optimizer_converges_on_plateau():
+    cfg = load_default_config()
+    cfg.set_path("calibration.min_steps", 2)
+    om = _om(cfg)
+    opt = AutomaticMS2Optimizer(
+        30.0, cfg, om, _FakeCalibration(8.0), _FakeFdr(), _FakeLock()
+    )
+    prec = pd.DataFrame({"precursor_idx": np.arange(50)})
+    frag = pd.DataFrame({"mz_library": np.zeros(10)})
+    # identical feature values every step -> ms2 uses try_narrower_values:
+    # parameter stabilizes at update_factor * ci -> converges on <5% change
+    for _ in range(6):
+        if opt.has_converged:
+            break
+        opt.step(prec, frag)
+    assert opt.has_converged
+    # converged parameter restored from the optimum row
+    assert om.ms2_error == pytest.approx(opt.history_df["parameter"].iloc[
+        opt._find_index_of_optimum()
+    ])
+
+
+def test_targeted_optimizer_reaches_target():
+    cfg = load_default_config()
+    cfg.set_path("calibration.min_steps", 2)
+    om = _om(cfg)
+    opt = TargetedMS2Optimizer(
+        30.0, 10.0, cfg, om, _FakeCalibration(5.0), _FakeFdr()
+    )
+    prec = pd.DataFrame({"precursor_idx": np.arange(10)})
+    frag = pd.DataFrame({"mz_library": np.zeros(5)})
+    opt.step(prec, frag)
+    assert not opt.has_converged  # min_steps not reached
+    opt.step(prec, frag)
+    assert opt.has_converged
+    # proposal = factor * max(ci, target) = 1.0 * 10.0
+    assert om.ms2_error == pytest.approx(10.0)

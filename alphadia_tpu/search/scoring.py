@@ -110,7 +110,7 @@ class ScoringConfig:
     quant_all: bool = True
     experimental_xic: bool = True
     collect_fragments: bool = True
-    batch_size: int = 2048
+    batch_size: int = 4096
     gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1

@@ -51,11 +51,11 @@ def _run_pipeline(dia, prec, frag, rt_tol=60.0):
 
     sel = CandidateSelection(
         dia, prec, frag,
-        SelectionConfig(rt_tolerance=rt_tol, candidate_count=3, batch_size=2048),
+        SelectionConfig(rt_tolerance=rt_tol, candidate_count=3, batch_size=4096),
     )
     cands = sel()
     score = CandidateScoring(
-        dia, prec, frag, ScoringConfig(batch_size=2048, collect_fragments=True)
+        dia, prec, frag, ScoringConfig(batch_size=4096, collect_fragments=True)
     )
     psm, frag_out = score(cands)
     return psm

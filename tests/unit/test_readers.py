@@ -1,7 +1,3 @@
-import base64
-import struct
-import zlib
-
 import numpy as np
 import pytest
 
@@ -11,52 +7,11 @@ from alphadia_tpu.rawdata.source import load_raw_file
 from alphadia_tpu.testing.synthetic import SyntheticConfig, make_synthetic_dia
 
 
-def _b64(arr, dtype, compress):
-    raw = np.asarray(arr, dtype=dtype).tobytes()
-    if compress:
-        raw = zlib.compress(raw)
-    return base64.b64encode(raw).decode()
+from alphadia_tpu.testing.mzml_writer import write_mzml as _write_mzml_shared
 
 
 def _write_mzml(path, spectra, compress=True):
-    """Minimal but standard-conforming mzML writer for tests."""
-    ns = "http://psi.hupo.org/ms/mzml"
-    parts = [f'<?xml version="1.0" encoding="utf-8"?>\n<mzML xmlns="{ns}"><run><spectrumList>']
-    for i in range(spectra.n_spectra):
-        a, b = spectra.peak_start_idx[i], spectra.peak_stop_idx[i]
-        mz = spectra.mz[a:b]
-        inten = spectra.intensity[a:b]
-        lvl = int(spectra.ms_level[i])
-        rt_min = float(spectra.rt[i]) / 60.0
-        comp_acc = (
-            '<cvParam accession="MS:1000574" name="zlib compression" value=""/>'
-            if compress
-            else '<cvParam accession="MS:1000576" name="no compression" value=""/>'
-        )
-        prec = ""
-        if lvl == 2:
-            lo = float(spectra.isolation_lower_mz[i])
-            hi = float(spectra.isolation_upper_mz[i])
-            target = (lo + hi) / 2
-            prec = (
-                "<precursorList><precursor><isolationWindow>"
-                f'<cvParam accession="MS:1000827" name="isolation window target m/z" value="{target}"/>'
-                f'<cvParam accession="MS:1000828" name="isolation window lower offset" value="{target-lo}"/>'
-                f'<cvParam accession="MS:1000829" name="isolation window upper offset" value="{hi-target}"/>'
-                "</isolationWindow></precursor></precursorList>"
-            )
-        parts.append(
-            f'<spectrum index="{i}" id="scan={i}" defaultArrayLength="{len(mz)}">'
-            f'<cvParam accession="MS:1000511" name="ms level" value="{lvl}"/>'
-            f'<scanList><scan><cvParam accession="MS:1000016" name="scan start time" value="{rt_min}" unitName="minute"/></scan></scanList>'
-            f"{prec}"
-            "<binaryDataArrayList>"
-            f'<binaryDataArray><cvParam accession="MS:1000514" name="m/z array" value=""/><cvParam accession="MS:1000523" name="64-bit float" value=""/>{comp_acc}<binary>{_b64(mz, np.float64, compress)}</binary></binaryDataArray>'
-            f'<binaryDataArray><cvParam accession="MS:1000515" name="intensity array" value=""/><cvParam accession="MS:1000521" name="32-bit float" value=""/>{comp_acc}<binary>{_b64(inten, np.float32, compress)}</binary></binaryDataArray>'
-            "</binaryDataArrayList></spectrum>"
-        )
-    parts.append("</spectrumList></run></mzML>")
-    path.write_text("".join(parts))
+    _write_mzml_shared(path, spectra, compress=compress)
 
 
 @pytest.fixture(scope="module")

@@ -16,6 +16,7 @@ Behavioral contract (reference: alphadia/fdr/classifiers.py:145-530
 
 from __future__ import annotations
 
+import functools
 import io
 import pickle
 
@@ -47,7 +48,56 @@ def _scaled_training_params(n_samples, base_lr=0.001, max_batch=4096, min_batch=
     if n_samples >= 1_000_000:
         return max_batch, base_lr
     batch_size = int(np.clip((n_samples / 1_000_000) * max_batch, min_batch, max_batch))
+    # round to a power of two: stable jit shapes across fits
+    batch_size = 1 << int(np.ceil(np.log2(batch_size)))
+    batch_size = min(batch_size, max_batch)
     return batch_size, base_lr * np.sqrt(batch_size / max_batch)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_train_step(layers, output_dim, dropout, learning_rate, weight_decay):
+    """One jitted train step per hyperparameter combination — a fresh
+    closure per fit() would recompile every call (minutes on the remote
+    TPU compile path)."""
+    model = FeedForwardNN(layers=layers, output_dim=output_dim, dropout=dropout)
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(learning_rate),
+    )
+
+    def loss_fn(params, batch_stats, x, y, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        p = jnp.clip(out, 1e-7, 1 - 1e-7)
+        bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)).mean()
+        return bce, mutated["batch_stats"]
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, rng):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, x, y, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    return tx, train_step
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_infer(layers, dropout):
+    model = FeedForwardNN(layers=layers, output_dim=2, dropout=dropout)
+
+    @jax.jit
+    def infer(variables, xb):
+        return model.apply(variables, xb, train=False)
+
+    return infer
 
 
 class BinaryClassifier:
@@ -85,32 +135,6 @@ class BinaryClassifier:
         return self._fitted
 
     # ------------------------------------------------------------------
-    def _make_train_step(self, model, tx):
-        def loss_fn(params, batch_stats, x, y, rng):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            eps = 1e-7
-            p = jnp.clip(out, eps, 1 - eps)
-            bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)).mean()
-            return bce, mutated["batch_stats"]
-
-        @jax.jit
-        def train_step(params, batch_stats, opt_state, x, y, rng):
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_stats, x, y, rng
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, new_bs, opt_state, loss
-
-        return train_step
-
-    # ------------------------------------------------------------------
     def fit(self, x: np.ndarray, y: np.ndarray) -> None:
         x = np.asarray(x, dtype=np.float32)
         y = np.asarray(y)
@@ -144,12 +168,14 @@ class BinaryClassifier:
         train_idx = perm[n_test:]
         x_train, y_train = x[train_idx], y[train_idx]
 
-        tx = optax.chain(
-            optax.add_decayed_weights(self.weight_decay),
-            optax.adam(self.learning_rate),
+        tx, train_step = _cached_train_step(
+            self.layers,
+            y.shape[1],
+            self.dropout,
+            float(self.learning_rate),
+            float(self.weight_decay),
         )
         opt_state = tx.init(params)
-        train_step = self._make_train_step(model, tx)
 
         bs = min(self.batch_size, len(x_train))
         num_batches = max(len(x_train) // bs, 1)
@@ -177,11 +203,7 @@ class BinaryClassifier:
         if not self._fitted:
             raise RuntimeError("classifier not fitted")
         x = np.asarray(x, dtype=np.float32)
-        model = FeedForwardNN(layers=self.layers, output_dim=2, dropout=self.dropout)
-
-        @jax.jit
-        def infer(variables, xb):
-            return model.apply(variables, xb, train=False)
+        infer = _cached_infer(self.layers, self.dropout)
 
         # pad to a static shape to avoid one compile per call size
         n = len(x)

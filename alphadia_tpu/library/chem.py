@@ -102,6 +102,47 @@ _ISOTOPES = {
 _ELEMENT_ORDER = ["C", "H", "N", "O", "S"]
 
 
+# isotope/element monoisotopic masses for composition formulas like
+# "H(-2)2H(8)13C(2)" (alphabase composition syntax)
+_ELEMENT_MASS = {
+    "H": 1.00782503207,
+    "2H": 2.01410177785,
+    "C": 12.0,
+    "13C": 13.00335483507,
+    "N": 14.0030740048,
+    "15N": 15.0001088989,
+    "O": 15.9949146196,
+    "18O": 17.9991610,
+    "S": 31.97207100,
+    "P": 30.97376163,
+    "Se": 79.9165213,
+    "Na": 22.9897692809,
+    "K": 38.96370668,
+    "Ca": 39.96259098,
+    "Fe": 55.9349375,
+}
+
+
+def parse_composition(formula: str) -> float:
+    """Monoisotopic mass of an alphabase-style composition string,
+    e.g. 'H(-2)2H(8)13C(2)' (reference: custom_modifications in
+    constants/default.yaml)."""
+    import re
+
+    mass = 0.0
+    for elem, count in re.findall(r"(\d*[A-Z][a-z]?)\((-?\d+)\)", formula):
+        if elem not in _ELEMENT_MASS:
+            raise KeyError(f"unknown element/isotope '{elem}' in '{formula}'")
+        mass += _ELEMENT_MASS[elem] * int(count)
+    return mass
+
+
+def register_custom_modification(name: str, composition: str) -> None:
+    """Add a user-defined modification (config `custom_modifications`)."""
+    base = name.split("@")[0]
+    MOD_TABLE[base] = (parse_composition(composition), (0, 0, 0, 0, 0))
+
+
 def parse_mod_spec(spec: str) -> list[tuple[str, str]]:
     """Parse 'Mod@Site;Mod@Site' into [(mod, site), ...]."""
     out = []

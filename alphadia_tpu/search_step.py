@@ -62,6 +62,15 @@ class SearchStep:
             self.config["output_directory"] = str(self.output_folder)
         self.config.to_yaml(self.output_folder / "frozen_config.yaml")
 
+        # user-defined modifications (multiplex decoy channels etc.)
+        from alphadia_tpu.library import chem
+
+        for mod in self.config["custom_modifications"] or []:
+            try:
+                chem.register_custom_modification(mod["name"], mod["composition"])
+            except Exception as e:
+                logger.warning(f"custom modification {mod.get('name')}: {e}")
+
         seed = self.config["general"]["random_state"]
         if seed == -1:
             seed = int(np.random.default_rng().integers(0, 2**31))
@@ -127,6 +136,14 @@ class SearchStep:
             )
         harmonize_steps += [IsotopeGenerator(), RTNormalization()]
         lib = ProcessingPipeline(harmonize_steps)(lib)
+
+        if self.config["library_multiplexing"]["enabled"]:
+            from alphadia_tpu.library.multiplex import MultiplexLibrary
+
+            lib = MultiplexLibrary(
+                self.config["library_multiplexing"]["multiplex_mapping"],
+                self.config["library_multiplexing"]["input_channel"],
+            )(lib)
 
         # decoys + flatten
         lib = DecoyGenerator("diann")(lib)

@@ -11,8 +11,10 @@ import os
 
 _CACHE_ENABLED = False
 
-# bucket grid for cycle-window lengths (static jit shapes)
-WINDOW_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+# bucket grid for cycle-window lengths (static jit shapes). Powers of two
+# only: on the remote-compile tunnel every extra bucket costs minutes of
+# compile, far more than the <=2x padding on a sub-100ms kernel.
+WINDOW_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

@@ -200,8 +200,16 @@ class SearchStep:
 
     # ------------------------------------------------------------------
     def _process_raw_file(self, raw_path: str, raw_name: str, quant_dir: Path) -> None:
+        per_file_seed = (
+            int(self._np_rng.integers(0, 2**31))
+            if self.config["general"]["random_state"] is not None
+            else None
+        )
         workflow = PeptideCentricWorkflow(
-            raw_name, self.config, quant_path=str(quant_dir)
+            raw_name,
+            self.config,
+            quant_path=str(quant_dir),
+            random_state=per_file_seed,
         )
         workflow.load(raw_path, self.spectral_library.copy())
         workflow.search_parameter_optimization()

@@ -40,10 +40,19 @@ FDR_FEATURE_COLUMNS = FEATURE_COLUMNS + [
 
 
 class PeptideCentricWorkflow(WorkflowBase):
-    def __init__(self, instance_name: str, config, quant_path: str | None = None):
+    def __init__(
+        self,
+        instance_name: str,
+        config,
+        quant_path: str | None = None,
+        random_state: int | None = None,
+    ):
         super().__init__(instance_name, config, quant_path)
         self.fdr_manager: FDRManager | None = None
         self.optimization_handler: OptimizationHandler | None = None
+        # per-file seed derived by SearchStep from general.random_state
+        # (reference seeding discipline, search_step.py:217-226)
+        self._random_state = random_state
 
     # ------------------------------------------------------------------
     @use_timing_manager("load")
@@ -51,7 +60,11 @@ class PeptideCentricWorkflow(WorkflowBase):
         self.reporter.log_event("load", "start")
         super().load(raw_path, spectral_library)
 
-        random_state = self.config["general"]["random_state"]
+        random_state = (
+            self._random_state
+            if self._random_state is not None
+            else self.config["general"]["random_state"]
+        )
         classifier = BinaryClassifier(
             test_size=0.001,
             batch_size=5000,

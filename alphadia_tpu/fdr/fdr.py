@@ -16,6 +16,8 @@ from alphadia_tpu.fdr.qvalues import get_q_values, keep_best
 from alphadia_tpu.reporting import logger
 
 MIN_PSM_FOR_CLASSIFICATION = 20
+# below this many PSMs the NN is replaced by balanced logistic regression
+MIN_PSM_FOR_NN = 500
 
 
 def perform_fdr(
@@ -53,19 +55,44 @@ def perform_fdr(
     psm_df = pd.concat([df_target, df_decoy], ignore_index=True)
     psm_df["_decoy"] = y
 
-    if len(X) < MIN_PSM_FOR_CLASSIFICATION:
+    # degenerate decoy populations: an NN trained on a handful of decoy
+    # examples ranks by noise and inverts the target/decoy order. Fall back
+    # to decoy-counting q-values on the raw peak-group score (higher =
+    # better) — the same statistic, minus the unlearnable classifier.
+    # the NN needs enough examples of BOTH classes to rank stably; on small
+    # or heavily imbalanced batches (synthetic tests, first optimization
+    # batches) its output oscillates step to step. Balanced logistic
+    # regression is the stable small-data estimator.
+    too_small = len(X) < max(MIN_PSM_FOR_CLASSIFICATION, MIN_PSM_FOR_NN)
+    too_few_decoys = n_d < max(50, 0.02 * n_t)
+    if (too_small or too_few_decoys) and n_d >= 3 and n_t >= 3:
+        logger.warning(
+            f"FDR: {n_d} decoys vs {n_t} targets — too few to train the NN; "
+            "using balanced logistic regression for q-value estimation"
+        )
+        from sklearn.linear_model import LogisticRegression
+
+        mu = X.mean(axis=0)
+        sd = X.std(axis=0) + 1e-9
+        Xz = np.nan_to_num((X - mu) / sd, nan=0.0, posinf=0.0, neginf=0.0)
+        lr = LogisticRegression(
+            class_weight="balanced", max_iter=1000, random_state=random_state or 0
+        )
+        lr.fit(Xz, y)
+        psm_df["proba"] = lr.predict_proba(Xz)[:, 1]
+    elif too_small or too_few_decoys:
         logger.warning("Too few PSMs for FDR classification; assigning qval=1")
         psm_df["qval"] = 1.0
         psm_df["proba"] = 1.0
         return psm_df
+    else:
+        rng = np.random.default_rng(random_state)
+        perm = rng.permutation(len(X))
+        n_train = int(len(X) * 0.8)
+        train_idx = perm[:n_train]
+        classifier.fit(X[train_idx], y[train_idx])
 
-    rng = np.random.default_rng(random_state)
-    perm = rng.permutation(len(X))
-    n_train = int(len(X) * 0.8)
-    train_idx = perm[:n_train]
-    classifier.fit(X[train_idx], y[train_idx])
-
-    psm_df["proba"] = classifier.predict_proba(X)[:, 1]
+        psm_df["proba"] = classifier.predict_proba(X)[:, 1]
     psm_df.sort_values(["proba", "precursor_idx"], ascending=True, inplace=True)
     psm_df = get_q_values(psm_df, "proba", "_decoy")
 

@@ -38,7 +38,13 @@ class PrecursorInitializer(ProcessingStep):
             df["mod_sites"] = ""
         lib.hash_precursors()
         if "elution_group_idx" not in df.columns:
-            codes, _ = pd.factorize(df["mod_seq_hash"], sort=False)
+            # one group per (modified sequence, charge): decoy/channel copies
+            # inherit the group later and compete, but charge states stay
+            # separate — grouping them would mark every shared y/b ion as
+            # cardinality>=2 and exclude_shared_ions would strip multi-charge
+            # peptides of all fragments (reference harmonize.py:82-89 uses
+            # per-precursor groups for the same reason)
+            codes, _ = pd.factorize(df["mod_seq_charge_hash"], sort=False)
             df["elution_group_idx"] = codes.astype(np.uint32)
         df["precursor_idx"] = np.arange(len(df), dtype=np.uint32)
         if "nAA" not in df.columns:

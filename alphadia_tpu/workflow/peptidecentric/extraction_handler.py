@@ -70,15 +70,29 @@ class ExtractionHandler:
         )
         candidates_df = selection()
 
-        if apply_cutoff and self._om.score_cutoff > 0:
+        # the cutoff only exists to save scoring compute on large libraries;
+        # on small candidate pools it starves the FDR of decoys (a handful
+        # of surviving decoys make q-values collapse on one rogue ranking)
+        if apply_cutoff and self._om.score_cutoff > 0 and len(candidates_df) > 5000:
             n_before = len(candidates_df)
-            candidates_df = candidates_df[
+            kept = candidates_df[
                 candidates_df["score"] > self._om.score_cutoff
             ].reset_index(drop=True)
-            logger.info(
-                f"Applied score cutoff {self._om.score_cutoff:.3f}: "
-                f"{len(candidates_df)}/{n_before} candidates retained"
-            )
+            # the cutoff is a throughput optimization, not a correctness
+            # filter: selection scores are standardized over the rt window,
+            # so a cutoff learned at a wider window can overshoot at the
+            # final tolerance. Never let it empty the candidate list.
+            if len(kept) == 0 and n_before > 0:
+                logger.warning(
+                    f"score cutoff {self._om.score_cutoff:.3f} would drop all "
+                    f"{n_before} candidates; skipping cutoff"
+                )
+            else:
+                candidates_df = kept
+                logger.info(
+                    f"Applied score cutoff {self._om.score_cutoff:.3f}: "
+                    f"{len(candidates_df)}/{n_before} candidates retained"
+                )
         return candidates_df
 
     def score_and_quantify_candidates(

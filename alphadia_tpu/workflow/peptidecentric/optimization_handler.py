@@ -194,6 +194,12 @@ class OptimizationHandler:
             )
             if len(prec_filtered) >= 6:
                 recal.recalibrate(prec_filtered, frag_filtered)
+                # the cutoff was learned from scores standardized over the
+                # current (wide) rt window; extraction runs at the target
+                # tolerance where the same peak gets a smaller z-score. A
+                # cutoff from a never-converged optimization starves
+                # extraction — drop it and let FDR do the filtering.
+                self._om.update(score_cutoff=0.0)
             for optimizers in ordered_optimizers:
                 for o in optimizers:
                     o.proceed_with_insufficient_precursors(

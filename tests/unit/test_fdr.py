@@ -90,10 +90,16 @@ def test_perform_fdr_end_to_end():
 
 
 def test_perform_fdr_too_few():
+    # tiny-but-trainable sets fall back to balanced logistic regression —
+    # real q-values, not the old blanket qval=1
     t, d, cols = _synthetic_psm(n=5)
     clf = BinaryClassifier(random_state=0)
     out = perform_fdr(clf, cols, t, d)
-    assert (out["qval"] == 1.0).all()
+    assert out["qval"].between(0, 1).all()
+    # degenerate decoy count (<3) still yields the conservative qval=1
+    t2, d2, cols2 = _synthetic_psm(n=5)
+    out2 = perform_fdr(clf, cols2, t2, d2.iloc[:2])
+    assert (out2["qval"] == 1.0).all()
 
 
 def test_fragment_competition():

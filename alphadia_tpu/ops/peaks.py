@@ -125,22 +125,33 @@ def find_peaks_profile_2d(score: jax.Array, *, top_n: int):
     peak_score, valid) each [B, top_n], descending score.
     """
     B, S, W = score.shape
+    # pad the scan axis with a strictly decreasing ramp so apexes in the
+    # outermost scan bins still satisfy the stencil — with few mobility
+    # bins (S~8) the interior-only stencil would blind half the scan range
+    # (the reference runs over hundreds of scans where the 2-bin margin is
+    # negligible; search/selection/utils.py:78-108)
+    ramp1 = score[:, :1] - 1e-3
+    ramp2 = score[:, :1] - 2e-3
+    rampN1 = score[:, -1:] - 1e-3
+    rampN2 = score[:, -1:] - 2e-3
+    padded = jnp.concatenate([ramp2, ramp1, score, rampN1, rampN2], axis=1)
+    Sp = S + 4
     stencil = jnp.zeros((B, S, W), dtype=bool)
-    if S >= 5 and W >= 5:
-        c = score[:, 2:-2, 2:-2]
+    if W >= 5:
+        c = padded[:, 2:-2, 2:-2]
         along_scan = (
-            (c > score[:, 1:-3, 2:-2])
-            & (score[:, 1:-3, 2:-2] > score[:, :-4, 2:-2])
-            & (c > score[:, 3:-1, 2:-2])
-            & (score[:, 3:-1, 2:-2] > score[:, 4:, 2:-2])
+            (c > padded[:, 1:-3, 2:-2])
+            & (padded[:, 1:-3, 2:-2] > padded[:, :-4, 2:-2])
+            & (c > padded[:, 3:-1, 2:-2])
+            & (padded[:, 3:-1, 2:-2] > padded[:, 4:, 2:-2])
         )
         along_cycle = (
-            (c > score[:, 2:-2, 1:-3])
-            & (score[:, 2:-2, 1:-3] > score[:, 2:-2, :-4])
-            & (c > score[:, 2:-2, 3:-1])
-            & (score[:, 2:-2, 3:-1] > score[:, 2:-2, 4:])
+            (c > padded[:, 2:-2, 1:-3])
+            & (padded[:, 2:-2, 1:-3] > padded[:, 2:-2, :-4])
+            & (c > padded[:, 2:-2, 3:-1])
+            & (padded[:, 2:-2, 3:-1] > padded[:, 2:-2, 4:])
         )
-        stencil = stencil.at[:, 2:-2, 2:-2].set(along_scan & along_cycle)
+        stencil = stencil.at[:, :, 2:-2].set(along_scan & along_cycle)
     masked = jnp.where(stencil, score, NEG_INF).reshape(B, S * W)
     peak_score, flat_idx = jax.lax.top_k(masked, top_n)
     valid = jnp.isfinite(peak_score)

@@ -29,12 +29,14 @@ import jax.numpy as jnp
 
 from alphadia_tpu.ops.peaks import (
     find_peaks_profile,
+    find_peaks_profile_2d,
     join_overlapping_1d,
     suppress_close_peaks,
+    symmetric_limits_2d,
     symmetric_limits_profile,
 )
 from alphadia_tpu.ops.smooth import convolve_profiles
-from alphadia_tpu.ops.xic import extract_xic
+from alphadia_tpu.ops.xic import extract_xic, extract_xic_4d
 from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
 
 
@@ -168,4 +170,150 @@ def select_candidates_batch(
         "cycle_center": cycle_center.astype(jnp.int32),
         "cycle_start": cycle_lo.astype(jnp.int32),
         "cycle_stop": cycle_hi.astype(jnp.int32),
+    }
+
+
+_SCAN_SMOOTH = (0.25, 0.5, 0.25)  # fixed 3-tap kernel along the scan axis
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_cycles",
+        "n_bins",
+        "n_scan_bins",
+        "slab",
+        "window_len",
+        "kernel_size",
+        "candidate_count",
+        "min_size_rt",
+        "max_size_rt",
+        "min_size_mobility",
+        "max_size_mobility",
+        "f_rt",
+        "f_mobility",
+        "center_fraction",
+        "peak_cycle_tolerance",
+    ),
+)
+def select_candidates_batch_4d(
+    peak_mz,
+    peak_intensity,
+    peak_scanbin,
+    cell_start,
+    frag_slot,  # i32[B, QF]
+    frag_mz,  # f32[B, QF]
+    iso_slot,  # i32[B, QI]
+    iso_mz,  # f32[B, QI]
+    cycle_start,  # i32[B]
+    kernel,  # f32[kernel_size]
+    fragment_tol_ppm,
+    precursor_tol_ppm,
+    n_valid_fragments,  # i32[B]
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    n_scan_bins: int,
+    slab: int,
+    window_len: int,
+    kernel_size: int,
+    candidate_count: int,
+    min_size_rt: int = 3,
+    max_size_rt: int = 15,
+    min_size_mobility: int = 2,
+    max_size_mobility: int = 6,
+    f_rt: float = 0.99,
+    f_mobility: float = 0.99,
+    center_fraction: float = 0.5,
+    peak_cycle_tolerance: int = 3,
+):
+    """4D candidate selection for ion-mobility data (reference
+    select_candidates 2D path, selection/selection.py:78-544 +
+    find_peaks_2d/symetric_limits_2d in selection/utils.py): the score map
+    keeps the scan axis, peaks and extents are found in (scan, cycle).
+
+    Output adds scan_center/scan_start/scan_stop in scan-bin coordinates
+    (convert to mobility via DiaData.mobility_values).
+    """
+    B = frag_slot.shape[0]
+    W, S = window_len, n_scan_bins
+    xic_kw = dict(
+        n_cycles=n_cycles,
+        n_bins=n_bins,
+        bin_mz_min=bin_mz_min,
+        bin_width=bin_width,
+        n_scan_bins=S,
+        slab=slab,
+        window_len=W,
+    )
+    dense_frag = extract_xic_4d(
+        peak_mz, peak_intensity, peak_scanbin, cell_start,
+        frag_slot, frag_mz, fragment_tol_ppm, cycle_start, **xic_kw,
+    )  # [B, QF, S, W]
+    dense_iso = extract_xic_4d(
+        peak_mz, peak_intensity, peak_scanbin, cell_start,
+        iso_slot, iso_mz, precursor_tol_ppm, cycle_start, **xic_kw,
+    )  # [B, QI, S, W]
+
+    def _smooth(x):
+        b, q = x.shape[0], x.shape[1]
+        y = convolve_profiles(
+            x.reshape(b * q * S, W), kernel, kernel_size=kernel_size
+        ).reshape(b, q, S, W)
+        # light smoothing along the scan axis
+        up = jnp.concatenate([y[:, :, :1], y[:, :, :-1]], axis=2)
+        dn = jnp.concatenate([y[:, :, 1:], y[:, :, -1:]], axis=2)
+        return _SCAN_SMOOTH[1] * y + _SCAN_SMOOTH[0] * up + _SCAN_SMOOTH[2] * dn
+
+    smooth_frag = _smooth(dense_frag)
+    smooth_iso = _smooth(dense_iso)
+
+    feature = jnp.log1p(jnp.maximum(smooth_frag, 0.0)).sum(axis=1) + jnp.log1p(
+        jnp.maximum(smooth_iso, 0.0)
+    ).sum(axis=1)  # [B, S, W]
+
+    mean = feature.mean(axis=(1, 2), keepdims=True)
+    std = feature.std(axis=(1, 2), keepdims=True)
+    score = (feature - mean) / (std + 1e-6)
+
+    scan_idx, cycle_idx, peak_score, valid = find_peaks_profile_2d(
+        score, top_n=candidate_count
+    )
+    keep = suppress_close_peaks(cycle_idx, peak_score, valid, peak_cycle_tolerance)
+
+    scan_start, scan_stop, start_rel, stop_rel = symmetric_limits_2d(
+        score,
+        jnp.maximum(scan_idx, 0),
+        jnp.maximum(cycle_idx, 0),
+        f_mobility=f_mobility,
+        f_rt=f_rt,
+        center_fraction=center_fraction,
+        min_size_mobility=min_size_mobility,
+        max_size_mobility=max_size_mobility,
+        min_size_rt=min_size_rt,
+        max_size_rt=max_size_rt,
+    )
+
+    enough_fragments = (n_valid_fragments > 3)[:, None]
+    keep = keep & enough_fragments
+
+    cyc0 = cycle_start[:, None]
+    cycle_center = jnp.clip(cyc0 + cycle_idx, 0, n_cycles - 1)
+    cycle_lo = jnp.clip(cyc0 + start_rel, 0, n_cycles)
+    cycle_hi = jnp.clip(cyc0 + stop_rel, 0, n_cycles)
+
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+
+    return {
+        "valid": keep,
+        "rank": jnp.where(keep, rank, 0).astype(jnp.int32),
+        "score": jnp.where(keep, peak_score, 0.0).astype(jnp.float32),
+        "cycle_center": cycle_center.astype(jnp.int32),
+        "cycle_start": cycle_lo.astype(jnp.int32),
+        "cycle_stop": cycle_hi.astype(jnp.int32),
+        "scan_center": jnp.clip(scan_idx, 0, S - 1).astype(jnp.int32),
+        "scan_start": jnp.clip(scan_start, 0, S).astype(jnp.int32),
+        "scan_stop": jnp.clip(scan_stop, 0, S).astype(jnp.int32),
     }

@@ -144,6 +144,133 @@ def extract_xic(
 
 
 # ----------------------------------------------------------------------
+# 4D (ion mobility) extraction: per-(scan bin, cycle) intensities
+# ----------------------------------------------------------------------
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_cycles", "n_bins", "n_scan_bins", "slab", "window_len",
+    ),
+)
+def extract_xic_4d(
+    peak_mz: jax.Array,  # f32[N+pad]
+    peak_intensity: jax.Array,  # f32[N+pad]
+    peak_scanbin: jax.Array,  # i32[N+pad]
+    cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
+    slot_idx: jax.Array,  # i32[B, Q]
+    query_mz: jax.Array,  # f32[B, Q]
+    tol_ppm: jax.Array,
+    cycle_start: jax.Array,  # i32[B]
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    n_scan_bins: int,
+    slab: int = 256,
+    window_len: int = 64,
+):
+    """Dense 4D XIC: intensity[B, Q, S, W] resolved per mobility scan bin.
+
+    Same slab-gather layout as ``extract_xic`` (one contiguous slab per
+    query, reference get_dense's 4D output alpharaw_jit.py:208-425), with
+    the per-cycle prefix-sum trick vectorized over scan bins: the slab
+    values are split into S masked channels before the cumsum, so each
+    (scan, cycle) intensity still falls out of two boundary lookups.
+    """
+    B, Q = slot_idx.shape
+    W, S = window_len, n_scan_bins
+    n_slots = cell_start.shape[0]
+    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+
+    valid_q = slot_idx >= 0
+    slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
+    tol = tol_ppm * 1e-6
+    q_lo = query_mz * (1.0 - tol)
+    q_hi = query_mz * (1.0 + tol)
+    b_c = jnp.clip(
+        jnp.floor((query_mz - bin_mz_min) / bin_width).astype(jnp.int32),
+        0, n_bins - 1,
+    )
+    row = slot_c * n_bins + b_c
+
+    w_idx = jnp.arange(W + 1, dtype=jnp.int32)
+    cyc = jnp.clip(cycle_start[:, None, None] + w_idx[None, None, :], 0, n_cycles)
+    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
+    slab_start = r[:, :, 0]
+    rel = jnp.clip(r - slab_start[:, :, None], 0, slab)  # [B, Q, W+1]
+    slab_len = rel[:, :, -1]
+
+    k = jnp.arange(slab, dtype=jnp.int32)
+    g_idx = jnp.clip(slab_start[:, :, None] + k, 0, peak_mz.shape[0] - 1)
+    g_mz = peak_mz[g_idx]  # [B, Q, K]
+    g_int = peak_intensity[g_idx]
+    g_sb = peak_scanbin[g_idx]
+
+    vmask = (
+        (k[None, None, :] < slab_len[:, :, None])
+        & (g_mz >= q_lo[:, :, None])
+        & (g_mz <= q_hi[:, :, None])
+        & valid_q[:, :, None]
+    )
+    v = jnp.where(vmask, g_int, 0.0)  # [B, Q, K]
+    onehot = (
+        g_sb[:, :, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+    )
+    vS = v[:, :, :, None] * onehot  # [B, Q, K, S]
+    P = jnp.concatenate(
+        [jnp.zeros((B, Q, 1, S), vS.dtype), jnp.cumsum(vS, axis=2)], axis=2
+    )  # [B, Q, K+1, S]
+    Pr = jnp.take_along_axis(
+        P, rel[:, :, :, None].astype(jnp.int32), axis=2
+    )  # [B, Q, W+1, S]
+    intensity = Pr[:, :, 1:, :] - Pr[:, :, :-1, :]  # [B, Q, W, S]
+    return jnp.transpose(intensity, (0, 1, 3, 2))  # [B, Q, S, W]
+
+
+def ref_extract_xic_4d_numpy(
+    dia, slot_idx, query_mz, tol_ppm, cycle_start, window_len
+):
+    """Slow direct 4D ground truth for tests."""
+    B, Q = np.asarray(slot_idx).shape
+    S = dia.n_scan_bins
+    out = np.zeros((B, Q, S, window_len), np.float32)
+    n_stored = dia.n_stored_peaks
+    keep = ~dia.peak_is_ghost[:n_stored]
+    mz = dia.peak_mz[:n_stored][keep]
+    it = dia.peak_intensity[:n_stored][keep]
+    sb = dia.peak_scanbin[:n_stored][keep]
+    cs = dia.cell_start
+    n_slots, n_bins = cs.shape[0], cs.shape[1]
+    slot_all = np.zeros(n_stored, np.int32)
+    cyc_all = np.zeros(n_stored, np.int32)
+    for s in range(n_slots):
+        for b in range(n_bins):
+            for c in range(dia.n_cycles):
+                a, z = cs[s, b, c], cs[s, b, c + 1]
+                slot_all[a:z] = s
+                cyc_all[a:z] = c
+    slot_of = slot_all[keep]
+    cyc_of = cyc_all[keep]
+    for bb in range(B):
+        for q in range(Q):
+            s = slot_idx[bb][q]
+            if s < 0:
+                continue
+            lo = query_mz[bb][q] * (1 - tol_ppm * 1e-6)
+            hi = query_mz[bb][q] * (1 + tol_ppm * 1e-6)
+            sel = (slot_of == s) & (mz >= lo) & (mz <= hi)
+            for w in range(window_len):
+                c = cycle_start[bb] + w
+                if c < 0 or c >= dia.n_cycles:
+                    continue
+                m = sel & (cyc_of == c)
+                for si in range(S):
+                    out[bb, q, si, w] = float(it[m & (sb == si)].sum())
+    return out
+
+
+# ----------------------------------------------------------------------
 # numpy reference for unit tests
 # ----------------------------------------------------------------------
 def ref_extract_xic_numpy(

@@ -43,6 +43,12 @@ class DiaData:
     mobility_values: np.ndarray = field(
         default_factory=lambda: np.array([NO_MOBILITY_VALUE, 0.0], dtype=np.float32)
     )
+    # 4D (timsTOF): per-peak ion mobility quantized to scan bins; the 4D XIC
+    # kernel resolves intensities per (scan bin, cycle). 3D data has S=1.
+    n_scan_bins: int = 1
+    peak_scanbin: np.ndarray = None  # i32[n_peaks + pad], 0 for 3D data
+    mobility_min: float = 0.0
+    mobility_max: float = 0.0
 
     # --- peak store: sorted by (slot, coarse bin, cycle, mz) -------------
     peak_mz: np.ndarray = None  # f32[n_peaks + pad]
@@ -74,6 +80,7 @@ class DiaData:
         spectra: SpectrumData,
         coarse_bin_width: float = 1.0,
         astral_ms1: bool = False,
+        n_scan_bins: int = 8,
     ) -> "DiaData":
         """Cycle-align and tensorize a raw file.
 
@@ -106,6 +113,19 @@ class DiaData:
         quad_min = float(cycle[0, quad_mask, 0, 0].min()) if quad_mask.any() else 0.0
         quad_max = float(cycle[0, quad_mask, 0, 1].max()) if quad_mask.any() else 0.0
 
+        has_mobility = spectra.has_mobility
+        if has_mobility:
+            mob_min = float(spectra.mobility.min())
+            mob_max = float(spectra.mobility.max())
+            S = max(2, int(n_scan_bins))
+            centers = mob_min + (np.arange(S, dtype=np.float32) + 0.5) * (
+                (mob_max - mob_min) / S
+            )
+        else:
+            mob_min = mob_max = 0.0
+            S = 1
+            centers = np.array([NO_MOBILITY_VALUE, 0.0], dtype=np.float32)
+
         obj = cls(
             cycle=cycle,
             rt_values=rt_values,
@@ -113,9 +133,16 @@ class DiaData:
             n_cycles=n_cycles,
             n_slots=n_slots,
             has_ms1=has_ms1,
+            has_mobility=has_mobility,
+            mobility_values=centers,
+            n_scan_bins=S,
+            mobility_min=mob_min,
+            mobility_max=mob_max,
             quad_min_mz=quad_min,
             quad_max_mz=quad_max,
             coarse_bin_width=coarse_bin_width,
+            # the native builder does not thread the mobility column yet
+            use_native=not has_mobility,
         )
         obj._build_peak_store(spectra)
         return obj
@@ -167,6 +194,7 @@ class DiaData:
                 )
                 self.peak_intensity = np.concatenate([out_int, np.zeros(pad, np.float32)])
                 self.peak_is_ghost = np.concatenate([out_ghost, np.zeros(pad, bool)])
+                self.peak_scanbin = np.zeros(len(self.peak_mz), np.int32)
                 self._n_canonical = len(spectra.mz)
                 self.n_bins = n_bins
                 return
@@ -218,6 +246,18 @@ class DiaData:
         is_ghost = np.zeros(len(all_mz), dtype=bool)
         is_ghost[len(spectra.mz) :] = True
 
+        if self.has_mobility:
+            S = self.n_scan_bins
+            span = max(self.mobility_max - self.mobility_min, 1e-9)
+            sb = np.clip(
+                ((spectra.mobility - self.mobility_min) / span * S).astype(np.int32),
+                0,
+                S - 1,
+            )
+            all_scanbin = np.concatenate([sb, sb[ghosts_up], sb[ghosts_dn]])
+        else:
+            all_scanbin = np.zeros(len(all_mz), np.int32)
+
         key = (all_slot * n_bins + all_bin) * n_cycles + all_cycle
         order = np.argsort(key, kind="stable")  # keeps mz ascending within cell
 
@@ -239,6 +279,9 @@ class DiaData:
             [all_int[order].astype(np.float32), np.zeros(pad, np.float32)]
         )
         self.peak_is_ghost = np.concatenate([is_ghost[order], np.zeros(pad, bool)])
+        self.peak_scanbin = np.concatenate(
+            [all_scanbin[order].astype(np.int32), np.zeros(pad, np.int32)]
+        )
         self._n_canonical = len(spectra.mz)
         self.n_bins = n_bins
 
@@ -309,6 +352,11 @@ class DiaData:
             self._device = {
                 "peak_mz": jnp.asarray(self.peak_mz),
                 "peak_intensity": jnp.asarray(self.peak_intensity),
+                "peak_scanbin": jnp.asarray(
+                    self.peak_scanbin
+                    if self.peak_scanbin is not None
+                    else np.zeros(len(self.peak_mz), np.int32)
+                ),
                 # 2D [N/128, 128] views for the pallas DMA kernel
                 "peak_mz_2d": jnp.asarray(mz_p.reshape(-1, 128)),
                 "peak_int_2d": jnp.asarray(int_p.reshape(-1, 128)),

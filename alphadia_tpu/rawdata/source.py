@@ -27,10 +27,17 @@ class SpectrumData:
     peak_stop_idx: np.ndarray  # i64[n_spectra]
     mz: np.ndarray  # f32[n_peaks], ascending within each spectrum
     intensity: np.ndarray  # f32[n_peaks]
+    # per-peak ion mobility (timsTOF 4D data); None for 3D data
+    # (reference: alpharaw Bruker layout carries a mobility peak column)
+    mobility: np.ndarray | None = None  # f32[n_peaks] or None
 
     @property
     def n_spectra(self) -> int:
         return len(self.rt)
+
+    @property
+    def has_mobility(self) -> bool:
+        return self.mobility is not None and len(self.mobility) == len(self.mz)
 
     def is_ms1_dia(self) -> bool:
         """Whether MS1 spectra recur with a constant period.
@@ -59,10 +66,13 @@ class SpectrumData:
         total = int(counts.sum())
         mz = np.empty(total, dtype=np.float32)
         inten = np.empty(total, dtype=np.float32)
+        mob = np.empty(total, dtype=np.float32) if self.has_mobility else None
         for j, i in enumerate(idx):
             a, b = self.peak_start_idx[i], self.peak_stop_idx[i]
             mz[new_start[j] : new_stop[j]] = self.mz[a:b]
             inten[new_start[j] : new_stop[j]] = self.intensity[a:b]
+            if mob is not None:
+                mob[new_start[j] : new_stop[j]] = self.mobility[a:b]
         return SpectrumData(
             rt=self.rt[idx],
             ms_level=self.ms_level[idx],
@@ -72,6 +82,7 @@ class SpectrumData:
             peak_stop_idx=new_stop,
             mz=mz,
             intensity=inten,
+            mobility=mob,
         )
 
 
@@ -102,8 +113,7 @@ def load_raw_file(path: str | Path, thread_count: int = 4) -> SpectrumData:
 
 
 def save_npz(path: str | Path, data: SpectrumData) -> None:
-    np.savez_compressed(
-        path,
+    arrays = dict(
         rt=data.rt,
         ms_level=data.ms_level,
         isolation_lower_mz=data.isolation_lower_mz,
@@ -113,6 +123,9 @@ def save_npz(path: str | Path, data: SpectrumData) -> None:
         mz=data.mz,
         intensity=data.intensity,
     )
+    if data.has_mobility:
+        arrays["mobility"] = data.mobility
+    np.savez_compressed(path, **arrays)
 
 
 def load_npz(path: str | Path) -> SpectrumData:

@@ -265,6 +265,67 @@ class CandidateScoring:
         return out
 
     # ------------------------------------------------------------------
+    def _mobility_observation(self, arrays) -> tuple[np.ndarray, np.ndarray] | None:
+        """Observed mobility + FWHM per candidate from the 4D scan profile.
+
+        One extra slab pass over the top fragments in a short quant window:
+        profile[S] = sum of fragment XIC per scan bin; mobility_observed is
+        its intensity-weighted mean, mobility_fwhm the half-max width
+        (reference: per-scan dense accumulation in get_dense +
+        features/precursor.py mobility features).
+        """
+        dia = self.dia
+        if not dia.has_mobility or dia.n_scan_bins <= 1:
+            return None
+        from alphadia_tpu.ops.xic import extract_xic_4d
+
+        dev = dia.device_arrays()
+        cfg = self.config
+        S = dia.n_scan_bins
+        W = 16
+        B = len(arrays["frame_center"])
+        slot = np.where(
+            arrays["frag_valid"], arrays["ms2_slot"][:, :1], -1
+        ).astype(np.int32)
+        qmz = arrays["frag_mz"]
+        c0 = np.clip(
+            arrays["frame_center"] - W // 2, 0, max(dia.n_cycles - W, 0)
+        ).astype(np.int32)
+
+        profs = []
+        Bsz = cfg.batch_size
+        for b0 in range(0, B, Bsz):
+            b1 = min(b0 + Bsz, B)
+            pad = Bsz - (b1 - b0)
+
+            def _pad(a):
+                sl = a[b0:b1]
+                if pad:
+                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                return sl
+
+            x4 = extract_xic_4d(
+                dev["peak_mz"], dev["peak_intensity"], dev["peak_scanbin"],
+                dev["cell_start"], _pad(slot), _pad(qmz),
+                np.float32(cfg.fragment_mz_tolerance), _pad(c0),
+                n_cycles=dia.n_cycles, n_bins=dia.n_bins,
+                bin_mz_min=dia.bin_mz_min, bin_width=dia.coarse_bin_width,
+                n_scan_bins=S, slab=cfg.gather_slab, window_len=W,
+            )
+            profs.append(np.asarray(x4.sum(axis=(1, 3)))[: b1 - b0])
+        prof = np.concatenate(profs)  # [B, S]
+
+        centers = np.asarray(dia.mobility_values, np.float64)
+        tot = prof.sum(axis=1)
+        mob_obs = np.where(
+            tot > 0, (prof * centers[None, :]).sum(axis=1) / np.maximum(tot, 1e-9), 0.0
+        )
+        half = prof.max(axis=1, keepdims=True) * 0.5
+        bin_w = (dia.mobility_max - dia.mobility_min) / S
+        fwhm = (prof >= np.maximum(half, 1e-12)).sum(axis=1) * bin_w
+        return mob_obs.astype(np.float32), fwhm.astype(np.float32)
+
+    # ------------------------------------------------------------------
     def _mesh(self):
         """Data-parallel mesh when more than one device is visible."""
         import jax
@@ -366,6 +427,10 @@ class CandidateScoring:
         frag_out = {k: np.concatenate(v) for k, v in frag_out_rows.items()}
 
         psm_df = pd.DataFrame(features, columns=FEATURE_COLUMNS)
+        mob = self._mobility_observation(arrays)
+        if mob is not None:
+            psm_df["mobility_observed"] = mob[0]
+            psm_df["mobility_fwhm"] = mob[1]
         psm_df["precursor_idx"] = cand["precursor_idx"].to_numpy()
         psm_df["rank"] = cand["rank"].to_numpy()
         psm_df["score"] = cand["score"].to_numpy() if "score" in cand.columns else 0.0

@@ -18,7 +18,10 @@ import numpy as np
 import pandas as pd
 
 from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
-from alphadia_tpu.ops.selection import select_candidates_batch
+from alphadia_tpu.ops.selection import (
+    select_candidates_batch,
+    select_candidates_batch_4d,
+)
 from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
@@ -45,6 +48,11 @@ class SelectionConfig:
     center_fraction: float = 0.5
     min_size_rt: int = 3
     max_size_rt: int = 15
+    # 4D (ion mobility) extents in scan-bin units (reference
+    # CandidateSelectionConfig f_mobility / *_size_mobility)
+    f_mobility: float = 0.99
+    min_size_mobility: int = 2
+    max_size_mobility: int = 6
     join_close_candidates: bool = True
     join_close_candidates_cycle_threshold: float = 0.6
     peak_cycle_tolerance: int = 3
@@ -203,24 +211,46 @@ class CandidateSelection:
 
         dev = dia.device_arrays()
         mesh = self._mesh()
-        static_kw = dict(
-            n_cycles=dia.n_cycles,
-            n_bins=dia.n_bins,
-            bin_mz_min=dia.bin_mz_min,
-            bin_width=dia.coarse_bin_width,
-            slab=cfg.gather_slab,
-            window_len=W,
-            kernel_size=cfg.kernel_size,
-            candidate_count=cfg.candidate_count,
-            min_size_rt=cfg.min_size_rt,
-            max_size_rt=cfg.max_size_rt,
-            f_rt=cfg.f_rt,
-            center_fraction=cfg.center_fraction,
-            join_close_candidates=cfg.join_close_candidates,
-            join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
-            peak_cycle_tolerance=cfg.peak_cycle_tolerance,
-            use_pallas=_pallas_available() and cfg.use_pallas,
-        )
+        use_4d = bool(dia.has_mobility) and dia.n_scan_bins > 1
+        if use_4d:
+            static_kw = dict(
+                n_cycles=dia.n_cycles,
+                n_bins=dia.n_bins,
+                bin_mz_min=dia.bin_mz_min,
+                bin_width=dia.coarse_bin_width,
+                n_scan_bins=dia.n_scan_bins,
+                slab=cfg.gather_slab,
+                window_len=W,
+                kernel_size=cfg.kernel_size,
+                candidate_count=cfg.candidate_count,
+                min_size_rt=cfg.min_size_rt,
+                max_size_rt=cfg.max_size_rt,
+                min_size_mobility=cfg.min_size_mobility,
+                max_size_mobility=cfg.max_size_mobility,
+                f_rt=cfg.f_rt,
+                f_mobility=cfg.f_mobility,
+                center_fraction=cfg.center_fraction,
+                peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+            )
+        else:
+            static_kw = dict(
+                n_cycles=dia.n_cycles,
+                n_bins=dia.n_bins,
+                bin_mz_min=dia.bin_mz_min,
+                bin_width=dia.coarse_bin_width,
+                slab=cfg.gather_slab,
+                window_len=W,
+                kernel_size=cfg.kernel_size,
+                candidate_count=cfg.candidate_count,
+                min_size_rt=cfg.min_size_rt,
+                max_size_rt=cfg.max_size_rt,
+                f_rt=cfg.f_rt,
+                center_fraction=cfg.center_fraction,
+                join_close_candidates=cfg.join_close_candidates,
+                join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
+                peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+                use_pallas=_pallas_available() and cfg.use_pallas,
+            )
 
         Bsz = cfg.batch_size
         out_frames = []
@@ -249,24 +279,42 @@ class CandidateSelection:
                 from alphadia_tpu.parallel.mesh import batch_sharding
 
                 nvf = jax.device_put(nvf, batch_sharding(mesh))
-            result = select_candidates_batch(
-                dev["peak_mz"],
-                dev["peak_intensity"],
-                dev["peak_mz_2d"],
-                dev["peak_int_2d"],
-                dev["peak_cycle_2d"],
-                dev["cell_start"],
-                _pad(arrays["frag_slot"]),
-                _pad(arrays["frag_mz"]),
-                _pad(arrays["iso_slot"]),
-                _pad(arrays["iso_mz"]),
-                _pad(arrays["cycle_start"]),
-                kernel,
-                np.float32(cfg.fragment_mz_tolerance),
-                np.float32(cfg.precursor_mz_tolerance),
-                nvf,
-                **static_kw,
-            )
+            if use_4d:
+                result = select_candidates_batch_4d(
+                    dev["peak_mz"],
+                    dev["peak_intensity"],
+                    dev["peak_scanbin"],
+                    dev["cell_start"],
+                    _pad(arrays["frag_slot"]),
+                    _pad(arrays["frag_mz"]),
+                    _pad(arrays["iso_slot"]),
+                    _pad(arrays["iso_mz"]),
+                    _pad(arrays["cycle_start"]),
+                    kernel,
+                    np.float32(cfg.fragment_mz_tolerance),
+                    np.float32(cfg.precursor_mz_tolerance),
+                    nvf,
+                    **static_kw,
+                )
+            else:
+                result = select_candidates_batch(
+                    dev["peak_mz"],
+                    dev["peak_intensity"],
+                    dev["peak_mz_2d"],
+                    dev["peak_int_2d"],
+                    dev["peak_cycle_2d"],
+                    dev["cell_start"],
+                    _pad(arrays["frag_slot"]),
+                    _pad(arrays["frag_mz"]),
+                    _pad(arrays["iso_slot"]),
+                    _pad(arrays["iso_mz"]),
+                    _pad(arrays["cycle_start"]),
+                    kernel,
+                    np.float32(cfg.fragment_mz_tolerance),
+                    np.float32(cfg.precursor_mz_tolerance),
+                    nvf,
+                    **static_kw,
+                )
             pending.append((b0, pad, result))
 
         for b0, pad, result in pending:
@@ -275,15 +323,23 @@ class CandidateSelection:
             if pad:
                 valid[Bsz - pad :] = False
             rows, cands = np.nonzero(valid)
+            if "scan_center" in result:
+                scan_start = result["scan_start"][rows, cands].astype(np.int64)
+                scan_center = result["scan_center"][rows, cands].astype(np.int64)
+                scan_stop = result["scan_stop"][rows, cands].astype(np.int64)
+            else:
+                scan_start = np.zeros(len(rows), np.int64)
+                scan_center = np.zeros(len(rows), np.int64)
+                scan_stop = np.ones(len(rows), np.int64)
             out_frames.append(
                 pd.DataFrame(
                     {
                         "precursor_idx": precursor_idx[b0 + rows],
                         "rank": result["rank"][rows, cands].astype(np.uint8),
                         "score": result["score"][rows, cands],
-                        "scan_start": np.zeros(len(rows), np.int64),
-                        "scan_center": np.zeros(len(rows), np.int64),
-                        "scan_stop": np.ones(len(rows), np.int64),
+                        "scan_start": scan_start,
+                        "scan_center": scan_center,
+                        "scan_stop": scan_stop,
                         "frame_start": result["cycle_start"][rows, cands].astype(np.int64),
                         "frame_center": result["cycle_center"][rows, cands].astype(np.int64),
                         "frame_stop": result["cycle_stop"][rows, cands].astype(np.int64),

@@ -26,8 +26,13 @@ class RawFileManager(BaseManager):
         coarse_bin = (
             self.config["tpu"]["coarse_bin_width"] if self.config else 1.0
         )
+        n_scan_bins = (
+            self.config["tpu"]["n_scan_bins"] if self.config else 8
+        )
         spectra = load_raw_file(raw_path, thread_count=thread_count)
-        dia = DiaData.from_spectra(spectra, coarse_bin_width=coarse_bin)
+        dia = DiaData.from_spectra(
+            spectra, coarse_bin_width=coarse_bin, n_scan_bins=n_scan_bins
+        )
         self.stats = {
             "rt_limit_min": dia.rt_min,
             "rt_limit_max": dia.rt_max,

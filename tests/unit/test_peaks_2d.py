@@ -6,14 +6,23 @@ from alphadia_tpu.ops.peaks import find_peaks_profile_2d, symmetric_limits_2d
 
 
 def ref_find_peaks_2d(a, top_n):
-    """Direct port of the reference stencil (search/selection/utils.py:78)."""
+    """Reference stencil (search/selection/utils.py:78) with our scan-edge
+    ramp padding: the jax kernel pads the scan axis by two strictly
+    decreasing rows so apexes in the outermost scan bins stay detectable
+    (with few mobility bins the interior-only stencil blinds half the
+    range)."""
+    pad = np.concatenate(
+        [a[:1] - 2e-3, a[:1] - 1e-3, a, a[-1:] - 1e-3, a[-1:] - 2e-3], axis=0
+    )
     out = []
-    for s in range(2, a.shape[0] - 2):
-        for p in range(2, a.shape[1] - 2):
-            ok = a[s - 2, p] < a[s - 1, p] < a[s, p] > a[s + 1, p] > a[s + 2, p]
-            ok &= a[s, p - 2] < a[s, p - 1] < a[s, p] > a[s, p + 1] > a[s, p + 2]
+    for s in range(2, pad.shape[0] - 2):
+        for p in range(2, pad.shape[1] - 2):
+            ok = (
+                pad[s - 2, p] < pad[s - 1, p] < pad[s, p] > pad[s + 1, p] > pad[s + 2, p]
+            )
+            ok &= pad[s, p - 2] < pad[s, p - 1] < pad[s, p] > pad[s, p + 1] > pad[s, p + 2]
             if ok:
-                out.append((a[s, p], s, p))
+                out.append((pad[s, p], s - 2, p))
     out.sort(reverse=True)
     return [(s, p) for _, s, p in out[:top_n]]
 

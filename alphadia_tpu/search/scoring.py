@@ -370,20 +370,43 @@ class CandidateScoring:
         feat_rows = []
         valid_rows = []
         frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid")}
+
+        # upload all per-candidate arrays once (padded to a batch multiple);
+        # batches are device-side slices — no per-batch host->device copies
+        n_padded = ((n + Bsz - 1) // Bsz) * Bsz
+        import jax as _jax
+
+        _BATCH_KEYS = (
+            "frag_mz", "frag_valid", "frag_intensity", "frag_type",
+            "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
+            "ms1_slot", "win_lo", "win_hi", "frame_center", "frame_start",
+            "frame_stop",
+        )
+
+        def _full(a):
+            if n_padded > n:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], n_padded - n, axis=0)], axis=0
+                )
+            # slicing a mesh-sharded array crashes/reshards; with a mesh the
+            # per-batch device_put below handles placement instead
+            if mesh is not None:
+                return a
+            return _jax.device_put(a)
+
+        batch_dev = {k: _full(arrays[k]) for k in _BATCH_KEYS}
+
         pending = []  # device results collected after all batches are submitted
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
 
-            def _pad(a):
-                sl = a[b0:b1]
-                if pad:
-                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+            def _pad(key):
+                sl = batch_dev[key][b0 : b0 + Bsz]
                 if mesh is not None:
-                    import jax
                     from alphadia_tpu.parallel.mesh import batch_sharding
 
-                    sl = jax.device_put(sl, batch_sharding(mesh))
+                    sl = _jax.device_put(np.asarray(sl), batch_sharding(mesh))
                 return sl
 
             features, valid, frag_out = score_candidates_batch(
@@ -394,22 +417,22 @@ class CandidateScoring:
                 dev["peak_cycle_2d"],
                 dev["cell_start"],
                 dev["cycle_rt"],
-                _pad(arrays["frag_mz"]),
-                _pad(arrays["frag_valid"]),
-                _pad(arrays["frag_intensity"]),
-                _pad(arrays["frag_type"]),
-                _pad(arrays["frag_position"]),
-                _pad(arrays["iso_mz"]),
-                _pad(arrays["iso_intensity"]),
-                _pad(arrays["ms2_slot"]),
-                _pad(arrays["ms1_slot"]),
-                _pad(arrays["win_lo"]),
-                _pad(arrays["win_hi"]),
+                _pad("frag_mz"),
+                _pad("frag_valid"),
+                _pad("frag_intensity"),
+                _pad("frag_type"),
+                _pad("frag_position"),
+                _pad("iso_mz"),
+                _pad("iso_intensity"),
+                _pad("ms2_slot"),
+                _pad("ms1_slot"),
+                _pad("win_lo"),
+                _pad("win_hi"),
                 np.asarray(cfg.quad_sigma, np.float32),
                 np.asarray(cfg.quad_delta_mu, np.float32),
-                _pad(arrays["frame_center"]),
-                _pad(arrays["frame_start"]),
-                _pad(arrays["frame_stop"]),
+                _pad("frame_center"),
+                _pad("frame_start"),
+                _pad("frame_stop"),
                 np.float32(cfg.fragment_mz_tolerance),
                 np.float32(cfg.precursor_mz_tolerance),
                 **static_kw,

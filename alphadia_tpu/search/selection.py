@@ -255,41 +255,63 @@ class CandidateSelection:
         Bsz = cfg.batch_size
         out_frames = []
         precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
-        pending = []  # (b0, b1, pad, device results) — collect after all submits
+
+        # pad the full prepared arrays to a batch multiple and upload ONCE;
+        # per-batch inputs are then device-side slices (no host->device
+        # transfer or host concat inside the batch loop — on the remote
+        # tunnel each small upload costs ~dispatch latency)
+        n_padded = ((n + Bsz - 1) // Bsz) * Bsz
+        import jax as _jax
+
+        def _full(a, zero_tail=False):
+            if n_padded > n:
+                tail = (
+                    np.zeros((n_padded - n,) + a.shape[1:], a.dtype)
+                    if zero_tail
+                    else np.repeat(a[-1:], n_padded - n, axis=0)
+                )
+                a = np.concatenate([a, tail], axis=0)
+            # slicing a mesh-sharded array crashes/reshards; with a mesh the
+            # per-batch device_put below handles placement instead
+            if mesh is not None:
+                return a
+            return _jax.device_put(a)
+
+        batch_dev = {
+            "frag_slot": _full(arrays["frag_slot"]),
+            "frag_mz": _full(arrays["frag_mz"]),
+            "iso_slot": _full(arrays["iso_slot"]),
+            "iso_mz": _full(arrays["iso_mz"]),
+            "cycle_start": _full(arrays["cycle_start"]),
+            # padded tail rows must not emit candidates
+            "n_valid_fragments": _full(arrays["n_valid_fragments"], zero_tail=True),
+        }
+
+        pending = []  # (b0, pad, device results) — collect after all submits
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
 
             def _pad(a):
-                sl = a[b0:b1]
-                if pad:
-                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+                sl = batch_dev[a][b0 : b0 + Bsz]
                 if mesh is not None:
-                    import jax
                     from alphadia_tpu.parallel.mesh import batch_sharding
 
-                    sl = jax.device_put(sl, batch_sharding(mesh))
+                    sl = _jax.device_put(np.asarray(sl), batch_sharding(mesh))
                 return sl
 
-            nvf = arrays["n_valid_fragments"][b0:b1]
-            if pad:
-                nvf = np.concatenate([nvf, np.zeros(pad, nvf.dtype)])
-            if mesh is not None:
-                import jax
-                from alphadia_tpu.parallel.mesh import batch_sharding
-
-                nvf = jax.device_put(nvf, batch_sharding(mesh))
+            nvf = _pad("n_valid_fragments")
             if use_4d:
                 result = select_candidates_batch_4d(
                     dev["peak_mz"],
                     dev["peak_intensity"],
                     dev["peak_scanbin"],
                     dev["cell_start"],
-                    _pad(arrays["frag_slot"]),
-                    _pad(arrays["frag_mz"]),
-                    _pad(arrays["iso_slot"]),
-                    _pad(arrays["iso_mz"]),
-                    _pad(arrays["cycle_start"]),
+                    _pad("frag_slot"),
+                    _pad("frag_mz"),
+                    _pad("iso_slot"),
+                    _pad("iso_mz"),
+                    _pad("cycle_start"),
                     kernel,
                     np.float32(cfg.fragment_mz_tolerance),
                     np.float32(cfg.precursor_mz_tolerance),
@@ -304,11 +326,11 @@ class CandidateSelection:
                     dev["peak_int_2d"],
                     dev["peak_cycle_2d"],
                     dev["cell_start"],
-                    _pad(arrays["frag_slot"]),
-                    _pad(arrays["frag_mz"]),
-                    _pad(arrays["iso_slot"]),
-                    _pad(arrays["iso_mz"]),
-                    _pad(arrays["cycle_start"]),
+                    _pad("frag_slot"),
+                    _pad("frag_mz"),
+                    _pad("iso_slot"),
+                    _pad("iso_mz"),
+                    _pad("cycle_start"),
                     kernel,
                     np.float32(cfg.fragment_mz_tolerance),
                     np.float32(cfg.precursor_mz_tolerance),

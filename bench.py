@@ -61,7 +61,7 @@ def _run_pipeline(dia, prec, frag, rt_tol=60.0, batch_size=4096):
     return psm
 
 
-def measure(n_peptides=1500, n_cycles=600, batch_size=4096) -> float:
+def measure(n_peptides=6000, n_cycles=600, batch_size=4096) -> float:
     """Return steady-state precursors/second (selection + scoring)."""
     from alphadia_tpu.utils.device import enable_compilation_cache
 

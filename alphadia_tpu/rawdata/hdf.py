@@ -57,6 +57,8 @@ def read_alpharaw_hdf(path: str | Path) -> SpectrumData:
         stop = _col(spec, "peak_stop_idx", "peak_stop_idxes")
         mz = _col(peak, "mz", "mz_values")
         inten = _col(peak, "intensity", "intensity_values")
+        # Bruker timsTOF layouts carry per-peak ion mobility (1/K0)
+        mobility = _col(peak, "mobility", "mobility_values", "inv_ion_mobility")
 
     for name, arr in (
         ("rt", rt), ("ms_level", ms_level), ("isolation bounds", iso_lo),
@@ -85,8 +87,12 @@ def read_alpharaw_hdf(path: str | Path) -> SpectrumData:
         peak_stop_idx=np.asarray(stop, np.int64),
         mz=np.asarray(mz, np.float32),
         intensity=np.asarray(inten, np.float32),
+        mobility=np.asarray(mobility, np.float32) if mobility is not None else None,
     )
-    logger.info(f"HDF: {data.n_spectra} spectra, {len(data.mz):,} peaks from {path}")
+    logger.info(
+        f"HDF: {data.n_spectra} spectra, {len(data.mz):,} peaks"
+        f"{' (4D, mobility)' if data.has_mobility else ''} from {path}"
+    )
     return data
 
 
@@ -96,8 +102,11 @@ def save_spectra_hdf(path: str | Path, data: SpectrumData) -> None:
 
     with h5py.File(path, "w") as f:
         f.attrs["format"] = "alphadia_tpu_spectra"
-        for k in (
+        keys = [
             "rt", "ms_level", "isolation_lower_mz", "isolation_upper_mz",
             "peak_start_idx", "peak_stop_idx", "mz", "intensity",
-        ):
+        ]
+        if data.has_mobility:
+            keys.append("mobility")
+        for k in keys:
             f.create_dataset(k, data=getattr(data, k), compression="gzip", compression_opts=1)

@@ -55,17 +55,21 @@ def perform_fdr(
     psm_df = pd.concat([df_target, df_decoy], ignore_index=True)
     psm_df["_decoy"] = y
 
-    # degenerate decoy populations: an NN trained on a handful of decoy
-    # examples ranks by noise and inverts the target/decoy order. Fall back
-    # to decoy-counting q-values on the raw peak-group score (higher =
-    # better) — the same statistic, minus the unlearnable classifier.
     # the NN needs enough examples of BOTH classes to rank stably; on small
     # or heavily imbalanced batches (synthetic tests, first optimization
-    # batches) its output oscillates step to step. Balanced logistic
-    # regression is the stable small-data estimator.
+    # batches at tight tolerances) its output oscillates step to step.
+    # Balanced logistic regression is the stable small-data estimator, and
+    # it fits with as little as one decoy example — the decoy-counting
+    # q-values stay honest regardless of how few decoys there are (a search
+    # so clean that decoys yield no candidates has a low FDR estimate, not
+    # an unknowable one).
     too_small = len(X) < max(MIN_PSM_FOR_CLASSIFICATION, MIN_PSM_FOR_NN)
     too_few_decoys = n_d < max(50, 0.02 * n_t)
-    if (too_small or too_few_decoys) and n_d >= 3 and n_t >= 3:
+    if n_t == 0:
+        psm_df["qval"] = 1.0
+        psm_df["proba"] = 1.0
+        return psm_df
+    if (too_small or too_few_decoys) and n_d >= 1:
         logger.warning(
             f"FDR: {n_d} decoys vs {n_t} targets — too few to train the NN; "
             "using balanced logistic regression for q-value estimation"
@@ -80,11 +84,12 @@ def perform_fdr(
         )
         lr.fit(Xz, y)
         psm_df["proba"] = lr.predict_proba(Xz)[:, 1]
-    elif too_small or too_few_decoys:
-        logger.warning("Too few PSMs for FDR classification; assigning qval=1")
-        psm_df["qval"] = 1.0
-        psm_df["proba"] = 1.0
-        return psm_df
+    elif n_d == 0:
+        logger.warning(
+            f"FDR: no decoy PSMs among {n_t} candidates; decoy-counting "
+            "q-values are 0 by construction"
+        )
+        psm_df["proba"] = 0.0
     else:
         rng = np.random.default_rng(random_state)
         perm = rng.permutation(len(X))

@@ -96,10 +96,14 @@ def test_perform_fdr_too_few():
     clf = BinaryClassifier(random_state=0)
     out = perform_fdr(clf, cols, t, d)
     assert out["qval"].between(0, 1).all()
-    # degenerate decoy count (<3) still yields the conservative qval=1
+    # even 2 decoys train the LR fallback; q-values stay in range
     t2, d2, cols2 = _synthetic_psm(n=5)
     out2 = perform_fdr(clf, cols2, t2, d2.iloc[:2])
-    assert (out2["qval"] == 1.0).all()
+    assert out2["qval"].between(0, 1).all()
+    # zero decoys: decoy-counting q-values are 0 by construction
+    t3, d3, cols3 = _synthetic_psm(n=5)
+    out3 = perform_fdr(clf, cols3, t3, d3.iloc[:0])
+    assert (out3["qval"] == 0.0).all()
 
 
 def test_fragment_competition():

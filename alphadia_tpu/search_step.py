@@ -83,7 +83,22 @@ class SearchStep:
     # ------------------------------------------------------------------
     @property
     def raw_path_list(self) -> list[str]:
-        return list(self.config["raw_paths"] or [])
+        """Raw files for THIS process: under a multi-host jax.distributed
+        job each host searches its deterministic slice (file-parallel mode,
+        results meet in the shared quant dir; parallel/distributed.py)."""
+        files = list(self.config["raw_paths"] or [])
+        from alphadia_tpu.parallel.distributed import (
+            initialize_distributed,
+            shard_files_for_host,
+        )
+
+        if initialize_distributed():
+            mine = shard_files_for_host(files)
+            logger.log(
+                25, f"distributed: this host searches {len(mine)}/{len(files)} files"
+            )
+            return mine
+        return files
 
     def load_library(self) -> SpecLibFlat:
         """Build or load the spectral library.

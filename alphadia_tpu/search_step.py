@@ -233,10 +233,27 @@ class SearchStep:
         psm_df.to_parquet(workflow.path / SearchStepFiles.PSM_FILE_NAME, index=False)
         frag_df.to_parquet(workflow.path / SearchStepFiles.FRAG_FILE_NAME, index=False)
         if self.config["transfer_library"]["enabled"]:
-            # transfer-learning fragment set (reference requantify_fragments
-            # re-extracts with extended fragment types; this build's scored
-            # fragment set already covers the configured b/y types)
-            frag_df.to_parquet(
+            # re-quantify the full transfer fragment space for confident PSMs
+            # (reference requantify_fragments, peptidecentric.py:296-317)
+            try:
+                _, frag_transfer_df = workflow.requantify_fragments(psm_df)
+                if len(frag_transfer_df) < len(frag_df):
+                    # sequence-derived fragment space didn't match the data
+                    # (e.g. libraries whose fragment m/z are not computable
+                    # from the sequence column) — the scored set is richer
+                    logger.warning(
+                        "transfer requantification matched fewer fragments "
+                        f"({len(frag_transfer_df)}) than the scored set "
+                        f"({len(frag_df)}); keeping the scored set"
+                    )
+                    frag_transfer_df = frag_df
+            except Exception as e:  # degraded fallback: scored top-k set
+                logger.warning(
+                    f"transfer requantification failed ({e}); "
+                    "falling back to the scored fragment set"
+                )
+                frag_transfer_df = frag_df
+            frag_transfer_df.to_parquet(
                 workflow.path / SearchStepFiles.FRAG_TRANSFER_FILE_NAME, index=False
             )
         workflow.dia_data.free_device()

@@ -207,3 +207,18 @@ class PeptideCentricWorkflow(WorkflowBase):
         return MultiplexingHandler(
             self.config, self.fdr_manager, handler, self.calibration_manager
         ).requantify(self.dia_data, self.spectral_library, psm_df)
+
+    # ------------------------------------------------------------------
+    @use_timing_manager("requantify_fragments")
+    def requantify_fragments(
+        self, psm_df: pd.DataFrame
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Re-quantify confident PSMs over the full transfer fragment space
+        (reference: peptidecentric.py:296-317)."""
+        from alphadia_tpu.workflow.peptidecentric.transfer_requant_handler import (
+            TransferRequantHandler,
+        )
+
+        return TransferRequantHandler(
+            self.config, self.calibration_manager, self.optimization_manager
+        ).requantify(self.dia_data, psm_df)

@@ -32,6 +32,17 @@ DEFAULT_CONFIG_PATH = Path(__file__).parent / "default.yaml"
 # keys that may be set from CLI even though they default to null/empty
 _PERMISSIVE_TYPES = (type(None),)
 
+# removed config keys still tolerated in user files (warn + ignore), so old
+# configs keep loading (reference: workflow/config.py:176-199 TOLERATED_KEYS)
+TOLERATED_KEYS = {
+    "general.astral_ms1",
+    "general.mmap_detector_events",
+    "fdr.enable_two_step_classifier",
+    "fdr.two_step_classifier_max_iterations",
+    "scoring_config",
+    "selection_config",
+}
+
 
 def _compatible(old: Any, new: Any) -> bool:
     """True when `new` may replace `old` without a type change."""
@@ -56,6 +67,14 @@ def _deep_update(
     for key, new_val in patch.items():
         dotted = f"{path}.{key}" if path else str(key)
         if key not in base:
+            if dotted in TOLERATED_KEYS:
+                from alphadia_tpu.reporting import logger
+
+                logger.warning(
+                    f"config key '{dotted}' was removed and is ignored "
+                    f"(from {source})"
+                )
+                continue
             raise KeyAddedConfigError(dotted, source)
         old_val = base[key]
         if isinstance(old_val, dict) and isinstance(new_val, dict):

@@ -19,7 +19,11 @@ from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
 from alphadia_tpu.ops.scoring import score_candidates_batch
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
-from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
+from alphadia_tpu.utils.device import (
+    bucket_window,
+    effective_batch,
+    enable_compilation_cache,
+)
 
 # order must match ops/scoring.py feature indices
 FEATURE_COLUMNS = [
@@ -110,7 +114,7 @@ class ScoringConfig:
     quant_all: bool = True
     experimental_xic: bool = True
     collect_fragments: bool = True
-    batch_size: int = 4096
+    batch_size: int = 16384
     gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
@@ -293,7 +297,7 @@ class CandidateScoring:
         ).astype(np.int32)
 
         profs = []
-        Bsz = cfg.batch_size
+        Bsz = effective_batch(cfg.batch_size, B)
         for b0 in range(0, B, Bsz):
             b1 = min(b0 + Bsz, B)
             pad = Bsz - (b1 - b0)
@@ -366,7 +370,7 @@ class CandidateScoring:
         )
 
         n = len(cand)
-        Bsz = cfg.batch_size
+        Bsz = effective_batch(cfg.batch_size, n)
         feat_rows = []
         valid_rows = []
         frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid")}

@@ -25,7 +25,11 @@ from alphadia_tpu.ops.selection import (
 from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
-from alphadia_tpu.utils.device import bucket_window, enable_compilation_cache
+from alphadia_tpu.utils.device import (
+    bucket_window,
+    effective_batch,
+    enable_compilation_cache,
+)
 
 
 @dataclass
@@ -59,7 +63,7 @@ class SelectionConfig:
     # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
     use_pallas: bool = True
     # device batching
-    batch_size: int = 4096
+    batch_size: int = 8192
     gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
@@ -252,7 +256,7 @@ class CandidateSelection:
                 use_pallas=_pallas_available() and cfg.use_pallas,
             )
 
-        Bsz = cfg.batch_size
+        Bsz = effective_batch(cfg.batch_size, n)
         out_frames = []
         precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
 

@@ -42,6 +42,16 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def effective_batch(configured: int, n: int, floor: int = 256) -> int:
+    """Batch size actually used: the configured cap, shrunk to the next
+    power of two >= n for small workloads so padding doesn't dominate
+    (static shapes stay bucketed — at most log2 variants per cap)."""
+    b = floor
+    while b < n and b < configured:
+        b *= 2
+    return min(b, configured)
+
+
 def bucket_window(n: int) -> int:
     """Round a window length up to the bucket grid (caps recompiles)."""
     for b in WINDOW_BUCKETS:

@@ -433,3 +433,47 @@ def score_candidates_batch(
         "valid": fmask,
     }
     return features, valid, fragment_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bsz",
+        "n_cycles",
+        "n_bins",
+        "slab",
+        "window_len",
+        "quant_window",
+        "quant_all",
+        "experimental_xic",
+        "use_pallas",
+    ),
+)
+def score_candidates_batch_sliced(
+    peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+    cell_start, cycle_rt,
+    frag_mz_full, frag_valid_full, frag_intensity_full, frag_type_full,
+    frag_position_full, iso_mz_full, iso_intensity_full,
+    ms2_slot_full, ms1_slot_full, win_lo_full, win_hi_full,
+    quad_sigma, quad_delta_mu,
+    frame_center_full, frame_start_full, frame_stop_full,
+    b0,  # i32 scalar batch offset
+    fragment_tol_ppm, precursor_tol_ppm,
+    *, bsz: int, **static_kw,
+):
+    """One dispatch per batch: slice the uploaded full candidate arrays on
+    device and run the scoring kernel (a host-side eager slice per input
+    array costs a dispatch round-trip each on the remote-TPU tunnel)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
+    return score_candidates_batch(
+        peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+        cell_start, cycle_rt,
+        sl(frag_mz_full), sl(frag_valid_full), sl(frag_intensity_full),
+        sl(frag_type_full), sl(frag_position_full), sl(iso_mz_full),
+        sl(iso_intensity_full), sl(ms2_slot_full), sl(ms1_slot_full),
+        sl(win_lo_full), sl(win_hi_full),
+        quad_sigma, quad_delta_mu,
+        sl(frame_center_full), sl(frame_start_full), sl(frame_stop_full),
+        fragment_tol_ppm, precursor_tol_ppm,
+        **static_kw,
+    )

@@ -173,6 +173,49 @@ def select_candidates_batch(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bsz",
+        "n_cycles",
+        "n_bins",
+        "slab",
+        "window_len",
+        "kernel_size",
+        "candidate_count",
+        "min_size_rt",
+        "max_size_rt",
+        "f_rt",
+        "center_fraction",
+        "join_close_candidates",
+        "join_cycle_threshold",
+        "peak_cycle_tolerance",
+        "use_pallas",
+    ),
+)
+def select_candidates_batch_sliced(
+    peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start,
+    frag_slot_full, frag_mz_full, iso_slot_full, iso_mz_full,
+    cycle_start_full, n_valid_fragments_full,
+    b0,  # i32 scalar batch offset
+    kernel, fragment_tol_ppm, precursor_tol_ppm,
+    *, bsz: int, **static_kw,
+):
+    """One dispatch per batch: slice the uploaded full arrays on device and
+    run the selection kernel (a host-side eager slice per input array would
+    cost one dispatch round-trip each on the remote-TPU tunnel)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
+    return select_candidates_batch(
+        peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+        cell_start,
+        sl(frag_slot_full), sl(frag_mz_full), sl(iso_slot_full),
+        sl(iso_mz_full), sl(cycle_start_full),
+        kernel, fragment_tol_ppm, precursor_tol_ppm,
+        sl(n_valid_fragments_full),
+        **static_kw,
+    )
+
+
 _SCAN_SMOOTH = (0.25, 0.5, 0.25)  # fixed 3-tap kernel along the scan axis
 
 
@@ -317,3 +360,44 @@ def select_candidates_batch_4d(
         "scan_start": jnp.clip(scan_start, 0, S).astype(jnp.int32),
         "scan_stop": jnp.clip(scan_stop, 0, S).astype(jnp.int32),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bsz",
+        "n_cycles",
+        "n_bins",
+        "n_scan_bins",
+        "slab",
+        "window_len",
+        "kernel_size",
+        "candidate_count",
+        "min_size_rt",
+        "max_size_rt",
+        "min_size_mobility",
+        "max_size_mobility",
+        "f_rt",
+        "f_mobility",
+        "center_fraction",
+        "peak_cycle_tolerance",
+    ),
+)
+def select_candidates_batch_4d_sliced(
+    peak_mz, peak_intensity, peak_scanbin, cell_start,
+    frag_slot_full, frag_mz_full, iso_slot_full, iso_mz_full,
+    cycle_start_full, n_valid_fragments_full,
+    b0,
+    kernel, fragment_tol_ppm, precursor_tol_ppm,
+    *, bsz: int, **static_kw,
+):
+    """4D analog of select_candidates_batch_sliced."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
+    return select_candidates_batch_4d(
+        peak_mz, peak_intensity, peak_scanbin, cell_start,
+        sl(frag_slot_full), sl(frag_mz_full), sl(iso_slot_full),
+        sl(iso_mz_full), sl(cycle_start_full),
+        kernel, fragment_tol_ppm, precursor_tol_ppm,
+        sl(n_valid_fragments_full),
+        **static_kw,
+    )

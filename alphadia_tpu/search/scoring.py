@@ -16,7 +16,10 @@ import numpy as np
 import pandas as pd
 
 from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
-from alphadia_tpu.ops.scoring import score_candidates_batch
+from alphadia_tpu.ops.scoring import (
+    score_candidates_batch,
+    score_candidates_batch_sliced,
+)
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
 from alphadia_tpu.utils.device import (
@@ -400,18 +403,39 @@ class CandidateScoring:
 
         batch_dev = {k: _full(arrays[k]) for k in _BATCH_KEYS}
 
+        qs = np.asarray(cfg.quad_sigma, np.float32)
+        qd = np.asarray(cfg.quad_delta_mu, np.float32)
+        ftol = np.float32(cfg.fragment_mz_tolerance)
+        ptol = np.float32(cfg.precursor_mz_tolerance)
         pending = []  # device results collected after all batches are submitted
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
 
-            def _pad(key):
-                sl = batch_dev[key][b0 : b0 + Bsz]
-                if mesh is not None:
-                    from alphadia_tpu.parallel.mesh import batch_sharding
+            if mesh is None:
+                # single dispatch per batch: slice-on-device inside the jit
+                features, valid, frag_out = score_candidates_batch_sliced(
+                    dev["peak_mz"], dev["peak_intensity"], dev["peak_mz_2d"],
+                    dev["peak_int_2d"], dev["peak_cycle_2d"],
+                    dev["cell_start"], dev["cycle_rt"],
+                    batch_dev["frag_mz"], batch_dev["frag_valid"],
+                    batch_dev["frag_intensity"], batch_dev["frag_type"],
+                    batch_dev["frag_position"], batch_dev["iso_mz"],
+                    batch_dev["iso_intensity"], batch_dev["ms2_slot"],
+                    batch_dev["ms1_slot"], batch_dev["win_lo"],
+                    batch_dev["win_hi"], qs, qd,
+                    batch_dev["frame_center"], batch_dev["frame_start"],
+                    batch_dev["frame_stop"],
+                    np.int32(b0), ftol, ptol, bsz=Bsz, **static_kw,
+                )
+                pending.append((Bsz - pad, features, valid, frag_out))
+                continue
 
-                    sl = _jax.device_put(np.asarray(sl), batch_sharding(mesh))
-                return sl
+            def _pad(key):
+                from alphadia_tpu.parallel.mesh import batch_sharding
+
+                sl = batch_dev[key][b0 : b0 + Bsz]
+                return _jax.device_put(np.asarray(sl), batch_sharding(mesh))
 
             features, valid, frag_out = score_candidates_batch(
                 dev["peak_mz"],
@@ -432,13 +456,13 @@ class CandidateScoring:
                 _pad("ms1_slot"),
                 _pad("win_lo"),
                 _pad("win_hi"),
-                np.asarray(cfg.quad_sigma, np.float32),
-                np.asarray(cfg.quad_delta_mu, np.float32),
+                qs,
+                qd,
                 _pad("frame_center"),
                 _pad("frame_start"),
                 _pad("frame_stop"),
-                np.float32(cfg.fragment_mz_tolerance),
-                np.float32(cfg.precursor_mz_tolerance),
+                ftol,
+                ptol,
                 **static_kw,
             )
             pending.append((Bsz - pad, features, valid, frag_out))

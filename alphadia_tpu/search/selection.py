@@ -21,6 +21,8 @@ from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
 from alphadia_tpu.ops.selection import (
     select_candidates_batch,
     select_candidates_batch_4d,
+    select_candidates_batch_4d_sliced,
+    select_candidates_batch_sliced,
 )
 from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
@@ -291,18 +293,45 @@ class CandidateSelection:
             "n_valid_fragments": _full(arrays["n_valid_fragments"], zero_tail=True),
         }
 
+        ftol = np.float32(cfg.fragment_mz_tolerance)
+        ptol = np.float32(cfg.precursor_mz_tolerance)
         pending = []  # (b0, pad, device results) — collect after all submits
         for b0 in range(0, n, Bsz):
             b1 = min(b0 + Bsz, n)
             pad = Bsz - (b1 - b0)
 
-            def _pad(a):
-                sl = batch_dev[a][b0 : b0 + Bsz]
-                if mesh is not None:
-                    from alphadia_tpu.parallel.mesh import batch_sharding
+            if mesh is None:
+                # single dispatch per batch: slice-on-device inside the jit
+                bi = np.int32(b0)
+                if use_4d:
+                    result = select_candidates_batch_4d_sliced(
+                        dev["peak_mz"], dev["peak_intensity"],
+                        dev["peak_scanbin"], dev["cell_start"],
+                        batch_dev["frag_slot"], batch_dev["frag_mz"],
+                        batch_dev["iso_slot"], batch_dev["iso_mz"],
+                        batch_dev["cycle_start"],
+                        batch_dev["n_valid_fragments"],
+                        bi, kernel, ftol, ptol, bsz=Bsz, **static_kw,
+                    )
+                else:
+                    result = select_candidates_batch_sliced(
+                        dev["peak_mz"], dev["peak_intensity"],
+                        dev["peak_mz_2d"], dev["peak_int_2d"],
+                        dev["peak_cycle_2d"], dev["cell_start"],
+                        batch_dev["frag_slot"], batch_dev["frag_mz"],
+                        batch_dev["iso_slot"], batch_dev["iso_mz"],
+                        batch_dev["cycle_start"],
+                        batch_dev["n_valid_fragments"],
+                        bi, kernel, ftol, ptol, bsz=Bsz, **static_kw,
+                    )
+                pending.append((b0, pad, result))
+                continue
 
-                    sl = _jax.device_put(np.asarray(sl), batch_sharding(mesh))
-                return sl
+            def _pad(a):
+                from alphadia_tpu.parallel.mesh import batch_sharding
+
+                sl = batch_dev[a][b0 : b0 + Bsz]
+                return _jax.device_put(np.asarray(sl), batch_sharding(mesh))
 
             nvf = _pad("n_valid_fragments")
             if use_4d:
@@ -317,8 +346,8 @@ class CandidateSelection:
                     _pad("iso_mz"),
                     _pad("cycle_start"),
                     kernel,
-                    np.float32(cfg.fragment_mz_tolerance),
-                    np.float32(cfg.precursor_mz_tolerance),
+                    ftol,
+                    ptol,
                     nvf,
                     **static_kw,
                 )
@@ -336,8 +365,8 @@ class CandidateSelection:
                     _pad("iso_mz"),
                     _pad("cycle_start"),
                     kernel,
-                    np.float32(cfg.fragment_mz_tolerance),
-                    np.float32(cfg.precursor_mz_tolerance),
+                    ftol,
+                    ptol,
                     nvf,
                     **static_kw,
                 )

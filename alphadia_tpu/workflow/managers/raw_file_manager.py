@@ -19,6 +19,33 @@ class RawFileManager(BaseManager):
         self.config = config
         self.stats: dict = {}
 
+    def _load_with_cache(self, raw_path: str, thread_count: int):
+        """XML parsing of large mzML files is the slow part of ingestion;
+        cache the normalized spectra as HDF next to the source (analogous
+        to alpharaw's .hdf conversion caching) and reuse while fresh."""
+        from pathlib import Path
+
+        src = Path(raw_path)
+        if src.suffix.lower() != ".mzml":
+            return load_raw_file(raw_path, thread_count=thread_count)
+        cache = src.with_suffix(src.suffix + ".cache.hdf")
+        if cache.exists() and cache.stat().st_mtime >= src.stat().st_mtime:
+            try:
+                from alphadia_tpu.rawdata.hdf import read_alpharaw_hdf
+
+                logger.info(f"Reusing spectra cache {cache.name}")
+                return read_alpharaw_hdf(cache)
+            except Exception as e:
+                logger.warning(f"spectra cache unreadable ({e}); re-parsing")
+        spectra = load_raw_file(raw_path, thread_count=thread_count)
+        try:
+            from alphadia_tpu.rawdata.hdf import save_spectra_hdf
+
+            save_spectra_hdf(cache, spectra)
+        except Exception as e:  # read-only dirs etc.
+            logger.info(f"spectra cache not written: {e}")
+        return spectra
+
     def get_dia_data_object(self, raw_path: str) -> DiaData:
         thread_count = (
             self.config["general"]["thread_count"] if self.config else 4
@@ -29,7 +56,7 @@ class RawFileManager(BaseManager):
         n_scan_bins = (
             self.config["tpu"]["n_scan_bins"] if self.config else 8
         )
-        spectra = load_raw_file(raw_path, thread_count=thread_count)
+        spectra = self._load_with_cache(raw_path, thread_count)
         dia = DiaData.from_spectra(
             spectra, coarse_bin_width=coarse_bin, n_scan_bins=n_scan_bins
         )

@@ -180,6 +180,10 @@ def score_candidates_batch(
     obs_valid = ms2_slot >= 0  # [B, O2]
     qtf = qtf * obs_valid[:, None, :]
 
+    # raw (pre-transmission-mask) per-window fragment sums: the training
+    # signal for per-run quadrupole fitting (search/quadrupole.py)
+    obs_raw_sum = d_frag_int.sum(axis=(1, 3))  # [B, O2]
+
     # mask fragments by mean transmission of the isotope envelope
     qtf_mask = qtf.mean(axis=1)  # [B, O2]
     d_frag_int = d_frag_int * qtf_mask[:, None, :, None]
@@ -431,6 +435,7 @@ def score_candidates_batch(
         "intensity": fragment_area_norm,
         "correlation": frame_corr,
         "valid": fmask,
+        "obs_intensity": obs_raw_sum,
     }
     return features, valid, fragment_out
 

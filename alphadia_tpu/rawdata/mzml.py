@@ -5,9 +5,18 @@ Fills the role of alpharaw's MzMLReader in the reference
 produces the normalized SpectrumData contract (RT seconds, isolation
 bounds, flat sorted peak arrays).
 
-Supports the standard PSI-MS encodings: 32/64-bit float binary arrays,
-zlib or no compression, ms level / scan start time / isolation window
-cvParams. Peaks are expected centroided.
+Handles real converter output (msconvert / timsconvert):
+- the ``indexedmzML`` wrapper and trailing byte-offset index
+- 32/64-bit float arrays, zlib or no compression
+- ms level / scan start time (minute or second units, by unitAccession or
+  unitName) / isolation window cvParams
+- ion mobility: per-peak inverse-reduced-mobility binary arrays
+  (MS:1002816 / MS:1003006) and per-spectrum scan mobility (MS:1002815,
+  broadcast over the spectrum's peaks — timsconvert frame-split layout)
+- MS-Numpress arrays are detected and rejected with a clear message
+  (re-convert without numpress) instead of producing garbage.
+
+Peaks are expected centroided.
 """
 
 from __future__ import annotations
@@ -34,10 +43,31 @@ ACC_INT_ARRAY = "MS:1000515"
 ACC_F64 = "MS:1000523"
 ACC_F32 = "MS:1000521"
 ACC_ZLIB = "MS:1000574"
+ACC_NO_COMP = "MS:1000576"
+ACC_PROFILE = "MS:1000128"
+# ion mobility
+ACC_MOB_ARRAY_MEAN_INV = "MS:1002816"  # mean inverse reduced ion mobility array
+ACC_MOB_ARRAY_MEAN = "MS:1003006"  # mean ion mobility array
+ACC_MOB_ARRAY_RAW_INV = "MS:1003007"  # raw inverse reduced ion mobility array
+ACC_SCAN_INV_MOB = "MS:1002815"  # inverse reduced ion mobility (scan-level)
+# MS-Numpress (not supported — detect, don't mis-decode)
+ACC_NUMPRESS = {
+    "MS:1002312": "numpress linear",
+    "MS:1002313": "numpress positive int",
+    "MS:1002314": "numpress slof",
+    "MS:1002746": "numpress linear + zlib",
+    "MS:1002747": "numpress positive int + zlib",
+    "MS:1002748": "numpress slof + zlib",
+}
+# time units
+UNIT_MINUTE = "UO:0000031"
+UNIT_SECOND = "UO:0000010"
+
+_MOB_ARRAY_ACCS = {ACC_MOB_ARRAY_MEAN_INV, ACC_MOB_ARRAY_MEAN, ACC_MOB_ARRAY_RAW_INV}
 
 
-def _decode_binary(data_elem) -> np.ndarray | None:
-    """Decode one <binaryDataArray>."""
+def _decode_binary(data_elem) -> tuple[str | None, np.ndarray]:
+    """Decode one <binaryDataArray> -> (kind, values)."""
     dtype = np.float64
     compressed = False
     kind = None
@@ -53,6 +83,14 @@ def _decode_binary(data_elem) -> np.ndarray | None:
             kind = "mz"
         elif acc == ACC_INT_ARRAY:
             kind = "intensity"
+        elif acc in _MOB_ARRAY_ACCS:
+            kind = "mobility"
+        elif acc in ACC_NUMPRESS:
+            raise NotImplementedError(
+                f"mzML uses MS-Numpress compression ({ACC_NUMPRESS[acc]}); "
+                "re-convert without numpress (msconvert default encoding, "
+                "e.g. `msconvert --zlib`)"
+            )
     b = data_elem.find(f"{_NS}binary")
     if b is None or not b.text:
         return kind, np.zeros(0, dtype)
@@ -62,34 +100,50 @@ def _decode_binary(data_elem) -> np.ndarray | None:
     return kind, np.frombuffer(raw, dtype=dtype)
 
 
+def _rt_seconds(cv) -> float:
+    """Scan start time -> seconds, honoring unitAccession over unitName."""
+    rt = float(cv.get("value"))
+    unit_acc = cv.get("unitAccession")
+    if unit_acc == UNIT_SECOND:
+        return rt
+    if unit_acc == UNIT_MINUTE:
+        return rt * 60.0
+    unit = cv.get("unitName", "minute")
+    return rt * 60.0 if unit.startswith("minute") else rt
+
+
 def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
     from lxml import etree
 
     rts, levels, iso_lo, iso_hi = [], [], [], []
-    mz_chunks, int_chunks = [], []
+    mz_chunks, int_chunks, mob_chunks = [], [], []
     counts = []
+    any_mobility = False
+    n_profile = 0
 
     context = etree.iterparse(str(path), events=("end",), tag=f"{_NS}spectrum")
     for _, spec in context:
         ms_level = 1
         rt = 0.0
         target = lower_off = upper_off = None
+        scan_mobility = None
 
         for cv in spec.iter(f"{_NS}cvParam"):
             acc = cv.get("accession")
             if acc == ACC_MS_LEVEL:
                 ms_level = int(cv.get("value"))
             elif acc == ACC_SCAN_START:
-                rt = float(cv.get("value"))
-                unit = cv.get("unitName", "minute")
-                if unit.startswith("minute"):
-                    rt *= 60.0
+                rt = _rt_seconds(cv)
             elif acc == ACC_ISO_TARGET:
                 target = float(cv.get("value"))
             elif acc == ACC_ISO_LOWER:
                 lower_off = float(cv.get("value"))
             elif acc == ACC_ISO_UPPER:
                 upper_off = float(cv.get("value"))
+            elif acc == ACC_SCAN_INV_MOB:
+                scan_mobility = float(cv.get("value"))
+            elif acc == ACC_PROFILE:
+                n_profile += 1
 
         if target is not None:
             lo = target - (lower_off if lower_off is not None else 0.0)
@@ -98,12 +152,20 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
             lo = hi = -1.0
 
         mz = inten = np.zeros(0, np.float32)
+        mob = None
         for arr_elem in spec.iter(f"{_NS}binaryDataArray"):
             kind, vals = _decode_binary(arr_elem)
             if kind == "mz":
                 mz = vals.astype(np.float32)
             elif kind == "intensity":
                 inten = vals.astype(np.float32)
+            elif kind == "mobility":
+                mob = vals.astype(np.float32)
+
+        if mob is None and scan_mobility is not None:
+            mob = np.full(len(mz), scan_mobility, np.float32)
+        if mob is not None and len(mob) != len(mz):
+            mob = None  # malformed array: drop rather than misalign
 
         if ms_level == 1:
             lo = hi = -1.0
@@ -114,15 +176,25 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
         iso_hi.append(hi)
         mz_chunks.append(mz[order])
         int_chunks.append(inten[order])
-        counts.append(len(mz))
+        if mob is not None:
+            any_mobility = True
+            mob_chunks.append(mob[order])
+        else:
+            mob_chunks.append(np.zeros(len(mz), np.float32))
 
         spec.clear()
         while spec.getprevious() is not None:
             del spec.getparent()[0]
 
+    if n_profile:
+        logger.warning(
+            f"mzML: {n_profile} profile-mode spectra — centroided input expected; "
+            "peak picking was not applied"
+        )
+
     n = len(rts)
     start = np.zeros(n, dtype=np.int64)
-    counts_arr = np.array(counts, dtype=np.int64)
+    counts_arr = np.array([len(c) for c in mz_chunks], dtype=np.int64)
     if n > 1:
         np.cumsum(counts_arr[:-1], out=start[1:])
     logger.info(f"mzML: {n} spectra, {int(counts_arr.sum()):,} peaks from {path}")
@@ -135,4 +207,9 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
         peak_stop_idx=start + counts_arr,
         mz=np.concatenate(mz_chunks) if mz_chunks else np.zeros(0, np.float32),
         intensity=np.concatenate(int_chunks) if int_chunks else np.zeros(0, np.float32),
+        mobility=(
+            np.concatenate(mob_chunks)
+            if (any_mobility and mob_chunks)
+            else None
+        ),
     )

@@ -376,7 +376,7 @@ class CandidateScoring:
         Bsz = effective_batch(cfg.batch_size, n)
         feat_rows = []
         valid_rows = []
-        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid")}
+        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity")}
 
         # upload all per-candidate arrays once (padded to a batch multiple);
         # batches are device-side slices — no per-batch host->device copies
@@ -478,6 +478,12 @@ class CandidateScoring:
         frag_out = {k: np.concatenate(v) for k, v in frag_out_rows.items()}
 
         psm_df = pd.DataFrame(features, columns=FEATURE_COLUMNS)
+        # raw per-quad-window fragment sums + window bounds: the training
+        # data for per-run quadrupole fitting (search/quadrupole.py)
+        for o in range(frag_out["obs_intensity"].shape[1]):
+            psm_df[f"obs_intensity_{o}"] = frag_out["obs_intensity"][:, o]
+            psm_df[f"obs_win_lo_{o}"] = arrays["win_lo"][:, o]
+            psm_df[f"obs_win_hi_{o}"] = arrays["win_hi"][:, o]
         mob = self._mobility_observation(arrays)
         if mob is not None:
             psm_df["mobility_observed"] = mob[0]

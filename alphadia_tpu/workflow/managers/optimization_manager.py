@@ -26,6 +26,10 @@ class OptimizationManager(BaseManager):
         self.fwhm_mobility = config["optimization_manager"]["fwhm_mobility"]
         self.score_cutoff = config["optimization_manager"]["score_cutoff"]
         self.classifier_version = -1
+        # per-run quadrupole transmission model (search/quadrupole.py);
+        # defaults match the reference's unfitted SimpleQuadrupole
+        self.quad_sigma = (0.2, 0.2)
+        self.quad_delta_mu = (0.0, 0.0)
 
     def update(self, **kwargs) -> None:
         for k, v in kwargs.items():

@@ -53,6 +53,8 @@ class ExtractionHandler:
             experimental_xic=cfg["search"]["experimental_xic"],
             batch_size=cfg["tpu"]["scoring_batch"],
             gather_slab=cfg["tpu"]["gather_slab"],
+            quad_sigma=tuple(self._om.quad_sigma),
+            quad_delta_mu=tuple(self._om.quad_delta_mu),
         )
 
     # ------------------------------------------------------------------

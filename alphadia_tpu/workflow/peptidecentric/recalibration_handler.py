@@ -45,3 +45,37 @@ class RecalibrationHandler:
             fwhm_mobility=float(precursor_df_filtered["mobility_fwhm"].median()),
             score_cutoff=float(score_cutoff),
         )
+
+        if self._config["search"].get("quadrupole_fit", False):
+            self._fit_quadrupole(precursor_df_filtered)
+
+    def _fit_quadrupole(self, psm_df: pd.DataFrame, min_multi: int = 100) -> None:
+        """Fit the transmission model from raw per-window fragment sums
+        (reference ships SimpleQuadrupole.fit but never calls it in the
+        default pipeline — quadrupole.py:163-207; here it runs on every
+        recalibration when enough window-overlap observations exist)."""
+        from alphadia_tpu.search.quadrupole import (
+            QuadrupoleCalibration,
+            harvest_transmission,
+        )
+
+        data = harvest_transmission(psm_df)
+        if data is None or data["n_multi"] < min_multi:
+            n = 0 if data is None else data["n_multi"]
+            logger.info(
+                f"quadrupole fit skipped: {n} overlap observations (<{min_multi})"
+            )
+            return
+        quad = QuadrupoleCalibration(
+            sigma=np.asarray(self._om.quad_sigma, np.float64),
+            delta_mu=np.asarray(self._om.quad_delta_mu, np.float64),
+        ).fit(data["mu1"], data["mu2"], data["x"], data["y"])
+        self._om.update(
+            quad_sigma=tuple(float(v) for v in quad.sigma),
+            quad_delta_mu=tuple(float(v) for v in quad.delta_mu),
+        )
+        logger.info(
+            f"quadrupole fit ({data['n_multi']} overlap obs): "
+            f"sigma=({quad.sigma[0]:.3f}, {quad.sigma[1]:.3f}) "
+            f"delta_mu=({quad.delta_mu[0]:.3f}, {quad.delta_mu[1]:.3f})"
+        )

@@ -24,10 +24,15 @@ scoring.py:34-81): 0 base_width_mobility, 1 base_width_rt, 2 rt_observed,
 41 top_3_ms2_mass_error, 42 mean_ms2_mass_error, 43 n_overlapping,
 44 mean_overlapping_intensity, 45 mean_overlapping_mass_error.
 
-This is the 3D path (no ion mobility: scan dim collapsed, features 29/30/39
-fixed at 0). Profiles are extracted re-centered: the XIC window starts at
-``frame_center - W//2`` so the apex sits at the static index W//2 —
-removing every data-dependent center the reference handles dynamically.
+Frame-axis profiles are extracted with the scan dim collapsed; for
+mobility data (static ``n_scan_bins > 1``) a dedicated scan-profile
+extraction fills the scan features in-kernel — 29/30 (fragment/template
+scan correlations), 39 (mobility_fwhm) and the observed-mobility center
+of mass (``fragment_out["scan_com"]``, mapped to mobility values by the
+driver).  For 3D data those features stay 0.  Profiles are extracted
+re-centered: the XIC window starts at ``frame_center - W//2`` so the apex
+sits at the static index W//2 — removing every data-dependent center the
+reference handles dynamically.
 
 Deliberate deviation from the reference: the expected center for the
 precursor weighted-center-mean is the window center (the reference feeds
@@ -55,7 +60,7 @@ from alphadia_tpu.ops.features import (
     weighted_center_mean,
     weighted_center_of_mass,
 )
-from alphadia_tpu.ops.xic import extract_xic
+from alphadia_tpu.ops.xic import extract_scan_profile, extract_xic
 from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
 
 
@@ -64,6 +69,7 @@ from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
     static_argnames=(
         "n_cycles",
         "n_bins",
+        "n_scan_bins",
         "slab",
         "window_len",
         "quant_window",
@@ -76,9 +82,8 @@ def score_candidates_batch(
     # device data
     peak_mz,
     peak_intensity,
-    peak_mz_2d,
-    peak_int_2d,
-    peak_cycle_2d,
+    peak_packed,
+    peak_scanbin,  # i32[N+pad] (zeros for 3D data)
     cell_start,
     cycle_rt,  # f32[n_cycles]
     # candidate batch
@@ -98,6 +103,9 @@ def score_candidates_batch(
     frame_center,  # i32[B] absolute cycle of apex
     frame_start,  # i32[B]
     frame_stop,  # i32[B] exclusive
+    scan_lo,  # i32[B] candidate scan-bin window start (0 for 3D)
+    scan_hi,  # i32[B] exclusive (1 for 3D)
+    mobility_width,  # f32[B] |mobility extent| of the scan window (0 for 3D)
     fragment_tol_ppm,
     precursor_tol_ppm,
     *,
@@ -105,6 +113,7 @@ def score_candidates_batch(
     n_bins: int,
     bin_mz_min: float,
     bin_width: float,
+    n_scan_bins: int = 1,
     slab: int,
     window_len: int,
     quant_window: int = 3,
@@ -142,7 +151,7 @@ def score_candidates_batch(
     fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
     fmzq = jnp.broadcast_to(frag_mz[:, :, None], (B, KF, O2))
     _xic = (
-        (lambda *a, **k: extract_xic_pallas(peak_mz_2d, peak_int_2d, peak_cycle_2d, *a, **k))
+        (lambda *a, **k: extract_xic_pallas(peak_packed, *a, **k))
         if use_pallas
         else (lambda *a, **k: extract_xic(peak_mz, peak_intensity, *a, **k))
     )
@@ -376,6 +385,85 @@ def score_candidates_batch(
     )
     features = features.at[:, 37].set((fmask & is_y).sum(axis=1).astype(f32))
 
+    # ---- mobility scan features (4D path) -----------------------------
+    # (reference: fragment_features.py:430-480 fragment_mobility_correlation,
+    # profile_features.py:148-188 mobility FWHM; computed in-kernel from
+    # dedicated scan profiles — n_scan_bins == 1 keeps them at 0 for 3D.)
+    scan_com = jnp.zeros((B,), dtype=f32)
+    if n_scan_bins > 1:
+        S = n_scan_bins
+        s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+        smask = (s_idx >= scan_lo[:, None]) & (s_idx < scan_hi[:, None])  # [B, S]
+        sp_kw = dict(
+            n_cycles=n_cycles, n_bins=n_bins, bin_mz_min=bin_mz_min,
+            bin_width=bin_width, n_scan_bins=S, slab=slab,
+        )
+        c_lo = jnp.maximum(frame_start, cycle_start)
+        c_hi = jnp.minimum(frame_stop, cycle_start + W)
+        frag_scan = extract_scan_profile(
+            peak_mz, peak_intensity, peak_scanbin, cell_start,
+            fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
+            fragment_tol_ppm, c_lo, c_hi, **sp_kw,
+        ).reshape(B, KF, O2, S) * smask[:, None, None, :]
+        prec_scan = extract_scan_profile(
+            peak_mz, peak_intensity, peak_scanbin, cell_start,
+            islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
+            precursor_tol_ppm, c_lo, c_hi, **sp_kw,
+        ).reshape(B, KI, O1, S).sum(axis=2) * smask[:, None, :]
+        template_scan = (
+            iso_intensity[:, :, None, None]
+            * qtf[:, :, :, None]
+            * prec_scan[:, :, None, :]
+        ).sum(axis=1)  # [B, O2, S]
+
+        # 29: pairwise fragment scan correlations, obs-importance reduced,
+        # intensity-weighted (masked moments over the candidate scan window)
+        cnt = jnp.maximum(smask.sum(-1), 1).astype(f32)  # [B]
+        mu = frag_scan.sum(-1) / cnt[:, None, None]  # [B, KF, O2]
+        pm_s = (frag_scan - mu[..., None]) * smask[:, None, None, :]
+        cov_s = jnp.einsum("bfos,bgos->bfgo", pm_s, pm_s)
+        var_s = jnp.einsum("bfos,bfos->bfo", pm_s, pm_s)
+        sd_s = jnp.sqrt(jnp.maximum(var_s, 0.0))
+        corr_s = cov_s / (sd_s[:, :, None, :] * sd_s[:, None, :, :] + 1e-12)
+        corr_s_red = (corr_s * obs_imp[:, None, None, :]).sum(-1)  # [B, KF, KF]
+        has_scan = frag_scan.sum(axis=(2, 3)) > 0  # [B, KF]
+        sc_mask = fmask & has_scan
+        w_scan = jnp.where(sc_mask, frag_intensity, 0.0)
+        w_scan = w_scan / jnp.maximum(w_scan.sum(-1, keepdims=True), 1e-12)
+        scan_corr_list = jnp.einsum(
+            "bfg,bg->bf", corr_s_red * sc_mask[:, None, :], w_scan
+        )
+        features = features.at[:, 29].set(masked_mean(scan_corr_list, sc_mask))
+
+        # 30: fragment-template scan correlation
+        t_corr_s = masked_corrcoef(
+            frag_scan,
+            jnp.broadcast_to(template_scan[:, None, :, :], frag_scan.shape),
+            jnp.broadcast_to(smask[:, None, None, :], frag_scan.shape),
+        )  # [B, KF, O2]
+        t_red_s = (t_corr_s * obs_imp[:, None, :]).sum(-1)
+        features = features.at[:, 30].set((t_red_s * w_scan).sum(-1))
+
+        # 39: mobility FWHM (fraction above half max x mobility extent)
+        smax = frag_scan.max(axis=-1, keepdims=True)
+        frac_s = (
+            ((frag_scan > 0.5 * smax) & smask[:, None, None, :]).sum(-1).astype(f32)
+            / cnt[:, None, None]
+        )
+        mf_red = (frac_s * mobility_width[:, None, None] * obs_imp[:, None, :]).sum(-1)
+        features = features.at[:, 39].set(
+            (mf_red * jnp.where(fmask, frag_intensity, 0.0)).sum(-1)
+        )
+
+        # observed mobility: scan center of mass of the summed fragment
+        # profile (bin units; the driver maps bins -> mobility values)
+        total_scan = (frag_scan * fmask[:, :, None, None]).sum(axis=(1, 2))  # [B, S]
+        bins_c = jnp.arange(S, dtype=f32)[None, :] + 0.5
+        tmass = total_scan.sum(-1)
+        scan_com = jnp.where(
+            tmass > 0, (total_scan * bins_c).sum(-1) / jnp.maximum(tmass, 1e-9), 0.0
+        )
+
     # ---- cycle FWHM ---------------------------------------------------
     half_max = frame_profile.max(axis=-1, keepdims=True) * 0.5
     frac_above = (frame_profile > half_max).sum(axis=-1).astype(f32) / W
@@ -436,6 +524,7 @@ def score_candidates_batch(
         "correlation": frame_corr,
         "valid": fmask,
         "obs_intensity": obs_raw_sum,
+        "scan_com": scan_com,
     }
     return features, valid, fragment_out
 
@@ -446,6 +535,7 @@ def score_candidates_batch(
         "bsz",
         "n_cycles",
         "n_bins",
+        "n_scan_bins",
         "slab",
         "window_len",
         "quant_window",
@@ -455,13 +545,14 @@ def score_candidates_batch(
     ),
 )
 def score_candidates_batch_sliced(
-    peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+    peak_mz, peak_intensity, peak_packed, peak_scanbin,
     cell_start, cycle_rt,
     frag_mz_full, frag_valid_full, frag_intensity_full, frag_type_full,
     frag_position_full, iso_mz_full, iso_intensity_full,
     ms2_slot_full, ms1_slot_full, win_lo_full, win_hi_full,
     quad_sigma, quad_delta_mu,
     frame_center_full, frame_start_full, frame_stop_full,
+    scan_lo_full, scan_hi_full, mobility_width_full,
     b0,  # i32 scalar batch offset
     fragment_tol_ppm, precursor_tol_ppm,
     *, bsz: int, **static_kw,
@@ -471,7 +562,7 @@ def score_candidates_batch_sliced(
     array costs a dispatch round-trip each on the remote-TPU tunnel)."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
     return score_candidates_batch(
-        peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+        peak_mz, peak_intensity, peak_packed, peak_scanbin,
         cell_start, cycle_rt,
         sl(frag_mz_full), sl(frag_valid_full), sl(frag_intensity_full),
         sl(frag_type_full), sl(frag_position_full), sl(iso_mz_full),
@@ -479,6 +570,7 @@ def score_candidates_batch_sliced(
         sl(win_lo_full), sl(win_hi_full),
         quad_sigma, quad_delta_mu,
         sl(frame_center_full), sl(frame_start_full), sl(frame_stop_full),
+        sl(scan_lo_full), sl(scan_hi_full), sl(mobility_width_full),
         fragment_tol_ppm, precursor_tol_ppm,
         **static_kw,
     )

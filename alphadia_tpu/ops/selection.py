@@ -63,9 +63,7 @@ def select_candidates_batch(
     # device data (DiaData.device_arrays())
     peak_mz,
     peak_intensity,
-    peak_mz_2d,
-    peak_int_2d,
-    peak_cycle_2d,
+    peak_packed,
     cell_start,
     # batch inputs
     frag_slot,  # i32[B, QF]   cycle-slot per fragment observation (-1 pad)
@@ -109,11 +107,11 @@ def select_candidates_batch(
 
     if use_pallas:
         dense_frag = extract_xic_pallas(
-            peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start, frag_slot, frag_mz,
+            peak_packed, cell_start, frag_slot, frag_mz,
             fragment_tol_ppm, cycle_start, **xic_kw,
         )  # [B, QF, W]
         dense_iso = extract_xic_pallas(
-            peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start, iso_slot, iso_mz,
+            peak_packed, cell_start, iso_slot, iso_mz,
             precursor_tol_ppm, cycle_start, **xic_kw,
         )  # [B, QI, W]
     else:
@@ -194,7 +192,7 @@ def select_candidates_batch(
     ),
 )
 def select_candidates_batch_sliced(
-    peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start,
+    peak_mz, peak_intensity, peak_packed, cell_start,
     frag_slot_full, frag_mz_full, iso_slot_full, iso_mz_full,
     cycle_start_full, n_valid_fragments_full,
     b0,  # i32 scalar batch offset
@@ -206,7 +204,7 @@ def select_candidates_batch_sliced(
     cost one dispatch round-trip each on the remote-TPU tunnel)."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
     return select_candidates_batch(
-        peak_mz, peak_intensity, peak_mz_2d, peak_int_2d, peak_cycle_2d,
+        peak_mz, peak_intensity, peak_packed,
         cell_start,
         sl(frag_slot_full), sl(frag_mz_full), sl(iso_slot_full),
         sl(iso_mz_full), sl(cycle_start_full),

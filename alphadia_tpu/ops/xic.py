@@ -228,6 +228,76 @@ def extract_xic_4d(
     return jnp.transpose(intensity, (0, 1, 3, 2))  # [B, Q, S, W]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("n_cycles", "n_bins", "n_scan_bins", "slab"),
+)
+def extract_scan_profile(
+    peak_mz: jax.Array,  # f32[N+pad]
+    peak_intensity: jax.Array,  # f32[N+pad]
+    peak_scanbin: jax.Array,  # i32[N+pad]
+    cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
+    slot_idx: jax.Array,  # i32[B, Q]
+    query_mz: jax.Array,  # f32[B, Q]
+    tol_ppm: jax.Array,
+    cycle_lo: jax.Array,  # i32[B] window start (inclusive)
+    cycle_hi: jax.Array,  # i32[B] window stop (exclusive)
+    *,
+    n_cycles: int,
+    n_bins: int,
+    bin_mz_min: float,
+    bin_width: float,
+    n_scan_bins: int,
+    slab: int = 256,
+):
+    """Mobility scan profile: intensity[B, Q, S] summed over the cycle
+    window, resolved per scan bin.
+
+    The cycle axis is integrated out (reference scan profiles:
+    bruker_jit.py:352-645 sum the dense 4D over frames), so only the two
+    window boundaries are gathered and the scan one-hot contracts the slab
+    axis directly — XLA fuses it into the reduction, nothing 4D is
+    materialized.
+    """
+    B, Q = slot_idx.shape
+    S = n_scan_bins
+    n_slots = cell_start.shape[0]
+    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+
+    valid_q = slot_idx >= 0
+    slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
+    tol = tol_ppm * 1e-6
+    q_lo = query_mz * (1.0 - tol)
+    q_hi = query_mz * (1.0 + tol)
+    b_c = jnp.clip(
+        jnp.floor((query_mz - bin_mz_min) / bin_width).astype(jnp.int32),
+        0, n_bins - 1,
+    )
+    row = slot_c * n_bins + b_c  # [B, Q]
+
+    c_lo = jnp.clip(cycle_lo, 0, n_cycles)[:, None]
+    c_hi = jnp.clip(cycle_hi, 0, n_cycles)[:, None]
+    r_lo = cs_flat[row, jnp.broadcast_to(c_lo, row.shape)]  # [B, Q]
+    r_hi = cs_flat[row, jnp.broadcast_to(c_hi, row.shape)]
+    slab_len = jnp.clip(r_hi - r_lo, 0, slab)
+
+    k = jnp.arange(slab, dtype=jnp.int32)
+    g_idx = jnp.clip(r_lo[:, :, None] + k, 0, peak_mz.shape[0] - 1)
+    g_mz = peak_mz[g_idx]  # [B, Q, K]
+    g_int = peak_intensity[g_idx]
+    g_sb = peak_scanbin[g_idx]
+
+    vmask = (
+        (k[None, None, :] < slab_len[:, :, None])
+        & (g_mz >= q_lo[:, :, None])
+        & (g_mz <= q_hi[:, :, None])
+        & valid_q[:, :, None]
+    )
+    v = jnp.where(vmask, g_int, 0.0)  # [B, Q, K]
+    onehot = g_sb[:, :, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+    return jnp.sum(v[:, :, :, None] * onehot, axis=2)  # [B, Q, S]
+
+
 def ref_extract_xic_4d_numpy(
     dia, slot_idx, query_mz, tol_ppm, cycle_start, window_len
 ):

@@ -2,22 +2,35 @@
 
 Same contract as ops/xic.extract_xic (one contiguous ghost-augmented slab
 per query), but the slab is moved HBM -> VMEM with explicit async DMAs
-(double-buffered) instead of an XLA gather — XLA lowers that gather to
-per-element loads on TPU, which dominated the hot path.
+instead of an XLA gather — XLA lowers that gather to per-element loads on
+TPU, which dominated the hot path.
+
+Performance model (measured on v5e through the axon tunnel): the kernel is
+DMA-LATENCY bound, not bandwidth bound — each query needs only a few KB,
+so the design goals are (1) exactly ONE DMA per query and (2) many queries
+in flight.  Hence:
+
+- the peak store is PACKED: one f32[NR, 4, 128] array whose second axis
+  interleaves (m/z, intensity, cycle, scanbin) per 128-lane row, so a
+  query's whole slab — all fields — arrives with a single async copy of
+  R contiguous (4, 128) rows;
+- a QT-deep prefetch pipeline: all QT slab DMAs of a grid step are
+  issued up front into QT scratch slots, then awaited one by one, keeping
+  ~QT copies in flight instead of the classic double buffer's one.
 
 Layout notes:
-- Mosaic requires 128-aligned lane slices, so peak arrays are stored 2D
-  ``[N/128, 128]`` and a slab DMA copies whole 128-wide rows starting at
-  the row containing the slab start (sublane-dim dynamic starts are
-  unrestricted); the in-row offset is corrected with an index grid.
-- per-cycle assignment comes from a third DMA'd array, the CYCLE of each
-  stored peak — matching ``cycle == c0 + w`` in-register removes the
-  per-cycle boundary gather entirely (only the slab start/end, 2 values
-  per query, are gathered in XLA).
+- Mosaic requires 128-aligned lane slices, so slabs are copied as whole
+  128-wide rows starting at the row containing the slab start (sublane-dim
+  dynamic starts are unrestricted); the in-row offset is corrected with an
+  index grid.
+- cycle/scanbin ride as f32 (exact for values < 2^24); matching
+  ``cycle == c0 + w`` in-register removes the per-cycle boundary gather
+  entirely (only the slab start/end, 2 values per query, are gathered in
+  XLA).
 
-Per query q (grid step processes QT queries, two live DMA slots):
+Per query q (grid step processes QT queries, QT live DMA slots):
     r0, r_end    = cell_start at (row, c0) and (row, c0+W)   (XLA, [B,Q,2])
-    mz/int/cyc   = DMA rows [r0//128 : r0//128+R) of the peak arrays
+    packed       = DMA rows [r0//128 : r0//128+R) of the packed store
     ok           = mz within [q_lo, q_hi] and k within [0, r_end-r0)
     out_int[w]   = sum over peaks with cycle == c0+w of ok * intensity
     out_dmz[w]   = same with intensity * (mz - q_center)
@@ -32,23 +45,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QT = 8  # queries per grid step
+QT = 128  # queries per grid step (output block lane width — must be 128k)
+DEPTH = 16  # rolling DMA prefetch window
 LANE = 128
+FIELDS = 4  # mz, intensity, cycle, scanbin
+F_MZ, F_INT, F_CYC, F_SCAN = range(FIELDS)
+
+
+def pack_peak_store(peak_mz, peak_intensity, peak_cycle, peak_scanbin=None):
+    """Build the packed f32[NR, 4, 128] peak store (host-side numpy)."""
+    import numpy as np
+
+    n = len(peak_mz)
+    n_pad = ((n + LANE - 1) // LANE) * LANE
+
+    def _pad(a, fill):
+        a = np.asarray(a, np.float32)
+        return np.concatenate([a, np.full(n_pad - len(a), fill, np.float32)])
+
+    mz = _pad(peak_mz, np.inf)
+    inten = _pad(peak_intensity, 0.0)
+    cyc = _pad(peak_cycle, -1.0)  # may be shorter than the padded peak arrays
+    scan = _pad(peak_scanbin if peak_scanbin is not None else np.zeros(0), 0.0)
+    return np.stack(
+        [
+            mz.reshape(-1, LANE),
+            inten.reshape(-1, LANE),
+            cyc.reshape(-1, LANE),
+            scan.reshape(-1, LANE),
+        ],
+        axis=1,
+    ).astype(np.float32)
 
 
 def _xic_kernel(
     r_ref,  # i32[QT, 4] (SMEM): r0, slab_len, c0, valid
     qlo_ref,  # f32[QT, 1] (SMEM)
     qhi_ref,  # f32[QT, 1] (SMEM)
-    mz_hbm,  # f32[NR, 128] (ANY/HBM)
-    int_hbm,  # f32[NR, 128]
-    cyc_hbm,  # i32[NR, 128]
+    packed_hbm,  # f32[NR, 4, 128] (ANY/HBM)
     out_int_ref,  # f32[QT, W]
     out_dmz_ref,  # f32[QT, W]
-    mz_scratch,  # f32[2, R, 128]
-    int_scratch,  # f32[2, R, 128]
-    cyc_scratch,  # i32[2, R, 128]
-    sems,  # DMA sems (2, 3)
+    scratch,  # f32[QT, R, 4, 128]
+    sems,  # DMA sems (QT,)
     *,
     W: int,
     R: int,
@@ -58,33 +96,21 @@ def _xic_kernel(
     def row0_of(q):
         return jnp.minimum(jnp.maximum(r_ref[q, 0], 0) // LANE, n_rows - R)
 
-    def start_dma(q, slot):
-        row0 = row0_of(q)
-        return (
-            pltpu.make_async_copy(
-                mz_hbm.at[pl.ds(row0, R), :], mz_scratch.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                int_hbm.at[pl.ds(row0, R), :], int_scratch.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                cyc_hbm.at[pl.ds(row0, R), :], cyc_scratch.at[slot], sems.at[slot, 2]
-            ),
+    def dma(q):
+        slot = q % DEPTH
+        return pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(row0_of(q), R)], scratch.at[slot], sems.at[slot]
         )
 
-    for c in start_dma(0, 0):
-        c.start()
+    # rolling DEPTH-deep prefetch: DEPTH slab copies stay in flight
+    for q in range(DEPTH):
+        dma(q).start()
     for q in range(QT):
-        slot = q % 2
-        if q + 1 < QT:
-            for c in start_dma(q + 1, (q + 1) % 2):
-                c.start()
-        for c in start_dma(q, slot):
-            c.wait()
-
-        mz = mz_scratch[slot]  # [R, 128]
-        inten = int_scratch[slot]
-        cyc = cyc_scratch[slot]
+        dma(q).wait()
+        buf = scratch[q % DEPTH]  # [R, 4, 128]
+        mz = buf[:, F_MZ, :]  # [R, 128]
+        inten = buf[:, F_INT, :]
+        cyc = buf[:, F_CYC, :]
         qlo = qlo_ref[q, 0]
         qhi = qhi_ref[q, 0]
         r0 = jnp.maximum(r_ref[q, 0], 0)
@@ -106,23 +132,43 @@ def _xic_kernel(
         )
         v = jnp.where(ok, inten, 0.0)  # [R, 128]
         qc = (qlo + qhi) * 0.5
-        vd = jnp.where(ok, inten * (mz - qc), 0.0)
+        vd = jnp.where(ok, inten * (mz - qc), 0.0) if with_mz else None
 
-        # per-cycle one-hot over a [R, 128, W] grid (broadcast_in_dim only —
-        # cross-lane reshapes are rejected by mosaic)
-        w_rel = cyc - c0  # [R, 128] window position of each peak
-        w3 = jax.lax.broadcasted_iota(jnp.int32, (R, LANE, W), 2)
-        wr3 = jax.lax.broadcast_in_dim(w_rel, (R, LANE, W), (0, 1))
-        m3 = wr3 == w3
-        v3 = jax.lax.broadcast_in_dim(v, (R, LANE, W), (0, 1))
-        acc_i = jnp.sum(jnp.where(m3, v3, 0.0), axis=(0, 1))  # [W]
-        out_int_ref[pl.ds(q, 1), :] = jax.lax.broadcast_in_dim(acc_i, (1, W), (1,))
+        # histogram over cycles in [W(sublanes), LANE] layout: every
+        # broadcast below replicates rows/lanes in place — no cross-lane
+        # relayout (the naive [R, 128, W] one-hot moves the 128-lane axis
+        # onto sublanes, a per-query transpose that dominated the kernel).
+        # cycle rides as f32 in the packed store (exact for < 2^24);
+        # converts to i32 here because mosaic rejects f32 iota.
+        w_rel = cyc.astype(jnp.int32) - c0  # [R, 128]
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
+        acc_i = jnp.zeros((W, LANE), jnp.float32)
+        acc_d = jnp.zeros((W, LANE), jnp.float32)
+        for r in range(R):
+            m = w_iota == jax.lax.broadcast_in_dim(
+                w_rel[r : r + 1, :], (W, LANE), (0, 1)
+            )
+            acc_i = acc_i + jnp.where(
+                m, jax.lax.broadcast_in_dim(v[r : r + 1, :], (W, LANE), (0, 1)), 0.0
+            )
+            if with_mz:
+                acc_d = acc_d + jnp.where(
+                    m,
+                    jax.lax.broadcast_in_dim(vd[r : r + 1, :], (W, LANE), (0, 1)),
+                    0.0,
+                )
+        # outputs are [W, QT] blocks (queries on lanes): one lane-reduction
+        # and a static single-lane store per query; XLA transposes the
+        # final [W, BQ] cheaply outside the kernel
+        out_int_ref[:, q : q + 1] = jnp.sum(acc_i, axis=1, keepdims=True)
         if with_mz:
-            vd3 = jax.lax.broadcast_in_dim(vd, (R, LANE, W), (0, 1))
-            acc_d = jnp.sum(jnp.where(m3, vd3, 0.0), axis=(0, 1))
-            out_dmz_ref[pl.ds(q, 1), :] = jax.lax.broadcast_in_dim(acc_d, (1, W), (1,))
+            out_dmz_ref[:, q : q + 1] = jnp.sum(acc_d, axis=1, keepdims=True)
         else:
-            out_dmz_ref[pl.ds(q, 1), :] = jnp.zeros((1, W), jnp.float32)
+            out_dmz_ref[:, q : q + 1] = jnp.zeros((W, 1), jnp.float32)
+
+        # refill the slot only after query q's reads are done (WAR hazard)
+        if q + DEPTH < QT:
+            dma(q + DEPTH).start()
 
 
 @functools.partial(
@@ -130,9 +176,7 @@ def _xic_kernel(
     static_argnames=("n_cycles", "n_bins", "slab", "window_len", "with_mz", "interpret"),
 )
 def extract_xic_pallas(
-    peak_mz_2d: jax.Array,  # f32[NR, 128]
-    peak_int_2d: jax.Array,  # f32[NR, 128]
-    peak_cycle_2d: jax.Array,  # i32[NR, 128]
+    peak_packed: jax.Array,  # f32[NR, 4, 128]
     cell_start: jax.Array,  # i32[n_slots, n_bins, n_cycles+1]
     slot_idx: jax.Array,  # i32[B, Q]
     query_mz: jax.Array,  # f32[B, Q]
@@ -153,7 +197,7 @@ def extract_xic_pallas(
     n_slots = cell_start.shape[0]
     cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
     R = slab // LANE + 1
-    n_rows = peak_mz_2d.shape[0]
+    n_rows = peak_packed.shape[0]
 
     valid_q = slot_idx >= 0
     slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
@@ -199,31 +243,27 @@ def extract_xic_pallas(
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((QT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, QT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, QT), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((BQ_pad, W), jnp.float32),
-            jax.ShapeDtypeStruct((BQ_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((W, BQ_pad), jnp.float32),
+            jax.ShapeDtypeStruct((W, BQ_pad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, R, LANE), jnp.float32),
-            pltpu.VMEM((2, R, LANE), jnp.float32),
-            pltpu.VMEM((2, R, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((DEPTH, R, FIELDS, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
         interpret=interpret,
-    )(meta_flat, qlo_flat, qhi_flat, peak_mz_2d, peak_int_2d, peak_cycle_2d)
+    )(meta_flat, qlo_flat, qhi_flat, peak_packed)
 
-    intensity = out_int[:BQ].reshape(B, Q, W)
+    intensity = out_int.T[:BQ].reshape(B, Q, W)
     if not with_mz:
         return intensity
     qc = (q_lo + q_hi) * 0.5
-    dmz = out_dmz[:BQ].reshape(B, Q, W)
+    dmz = out_dmz.T[:BQ].reshape(B, Q, W)
     mz_obs = jnp.where(
         intensity > 0, qc[:, :, None] + dmz / jnp.maximum(intensity, 1e-12), 0.0
     )

@@ -32,33 +32,41 @@ def ion_hash(precursor_idx, number, ftype, charge, loss_type) -> np.ndarray:
     )
 
 
+# feature sets matching the reference's loader columns
+# (quant_output_builder.py:38-49 QUANTSELECT_COLUMNS / DEFAULT_COLUMNS)
+DEFAULT_FEATURES = ("intensity", "correlation")
+QUANTSELECT_FEATURES = ("intensity", "correlation", "mass_error", "height")
+
+
 def accumulate_frag_df(
     run_frames: dict[str, pd.DataFrame],
-) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Build wide ion x run (intensity, correlation) matrices."""
-    intensity_frames, corr_frames = [], []
+    columns: tuple[str, ...] = DEFAULT_FEATURES,
+) -> dict[str, pd.DataFrame]:
+    """Build wide ion x run matrices, one per feature column.
+
+    Returns {feature: DataFrame[ion, precursor_idx, run1, run2, ...]}
+    (reference: FragmentQuantLoader.accumulate_from_folders).
+    """
+    frames: dict[str, list[pd.DataFrame]] = {c: [] for c in columns}
     for run, df in run_frames.items():
         h = ion_hash(
             df["precursor_idx"], df["number"], df["type"], df["charge"], df["loss_type"]
         )
-        base = pd.DataFrame(
-            {
-                "ion": h,
-                "precursor_idx": df["precursor_idx"].to_numpy(),
-                run: df["intensity"].to_numpy(),
-            }
-        ).drop_duplicates("ion")
-        intensity_frames.append(base.set_index(["ion", "precursor_idx"])[[run]])
-        corr_frames.append(
-            pd.DataFrame(
-                {"ion": h, "precursor_idx": df["precursor_idx"].to_numpy(), run: df["correlation"].to_numpy()}
+        for c in columns:
+            frames[c].append(
+                pd.DataFrame(
+                    {
+                        "ion": h,
+                        "precursor_idx": df["precursor_idx"].to_numpy(),
+                        run: df[c].to_numpy(),
+                    }
+                )
+                .drop_duplicates("ion")
+                .set_index(["ion", "precursor_idx"])[[run]]
             )
-            .drop_duplicates("ion")
-            .set_index(["ion", "precursor_idx"])[[run]]
-        )
-    intensity_df = pd.concat(intensity_frames, axis=1).reset_index()
-    corr_df = pd.concat(corr_frames, axis=1).reset_index()
-    return intensity_df, corr_df
+    return {
+        c: pd.concat(frames[c], axis=1).reset_index() for c in columns
+    }
 
 
 def filter_frag_df(
@@ -151,4 +159,136 @@ def direct_lfq(
         out_rows.append([sorted_keys[a], *np.power(2.0, est)])
     out = pd.DataFrame(out_rows, columns=["group", *run_columns])
     logger.info(f"LFQ: quantified {len(out)} groups over {len(run_columns)} runs")
+    return out
+
+
+# ----------------------------------------------------------------------
+# QuantSelect-style estimation
+# ----------------------------------------------------------------------
+def quantselect_ion_scores(
+    feature_dfs: dict[str, pd.DataFrame], run_columns: list[str]
+) -> np.ndarray:
+    """Per-ion quality weight in [0, 1] from the multi-feature matrices.
+
+    Role of the reference's QuantSelect model (quant_builder.py:247-283
+    delegates to the external ``quantselect`` package, which scores ions
+    from XIC correlation / mass error / intensity features before
+    aggregation).  Self-contained scheme here, documented term by term:
+
+    - mean XIC correlation across runs (higher = cleaner elution match)
+    - mass-error consistency: 1 / (1 + std_ppm) across runs
+    - detection rate: fraction of runs where the ion has signal
+    - cross-run stability: 1 / (1 + sd of log2 intensity deviations from
+      the ion's run-median profile)
+
+    The four terms are averaged; missing features degrade gracefully to
+    the terms that exist.
+    """
+    n = len(next(iter(feature_dfs.values())))
+    terms = []
+
+    if "correlation" in feature_dfs:
+        corr = feature_dfs["correlation"][run_columns].to_numpy(np.float64)
+        terms.append(np.clip(np.nanmean(corr, axis=1), 0.0, 1.0))
+
+    if "mass_error" in feature_dfs:
+        me = feature_dfs["mass_error"][run_columns].to_numpy(np.float64)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            me_std = np.nanstd(me, axis=1)
+        me_std = np.where(np.isfinite(me_std), me_std, 5.0)
+        terms.append(1.0 / (1.0 + me_std))
+
+    if "intensity" in feature_dfs:
+        inten = feature_dfs["intensity"][run_columns].to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            present = (inten > 0) & np.isfinite(inten)
+        terms.append(present.sum(axis=1) / max(len(run_columns), 1))
+        log_i = np.where(present, np.log2(np.maximum(inten, 1e-12)), np.nan)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            dev = log_i - np.nanmedian(log_i, axis=1, keepdims=True)
+            sd = np.nanstd(dev, axis=1)
+        sd = np.where(np.isfinite(sd), sd, 2.0)
+        terms.append(1.0 / (1.0 + sd))
+
+    if not terms:
+        return np.ones(n)
+    return np.clip(np.mean(np.stack(terms, axis=0), axis=0), 1e-3, 1.0)
+
+
+def _weighted_nanmedian(values: np.ndarray, weights: np.ndarray) -> float:
+    ok = np.isfinite(values)
+    if not ok.any():
+        return np.nan
+    v = values[ok]
+    w = weights[ok]
+    order = np.argsort(v)
+    cw = np.cumsum(w[order])
+    if cw[-1] <= 0:
+        return float(np.median(v))
+    idx = np.searchsorted(cw, 0.5 * cw[-1])
+    return float(v[order][min(idx, len(v) - 1)])
+
+
+def quantselect_lfq(
+    feature_dfs: dict[str, pd.DataFrame],
+    group_keys: pd.Series,
+    run_columns: list[str],
+    min_nonnan: int = 1,
+) -> pd.DataFrame:
+    """Feature-weighted group quantification (QuantSelect equivalent).
+
+    Same align-then-profile scheme as ``direct_lfq`` but ions contribute
+    with their quality weight: the run profile is the weighted median of
+    aligned ion traces, so one noisy ion cannot drag a run's estimate.
+    """
+    intensity_df = feature_dfs["intensity"]
+    weights = quantselect_ion_scores(feature_dfs, run_columns)
+
+    mat = intensity_df[run_columns].to_numpy(dtype=np.float64).copy()
+    mat[mat <= 0] = np.nan
+    log_mat = np.log2(mat)
+    if log_mat.shape[1] > 1:
+        log_mat = normalize_samples(log_mat)
+
+    import warnings
+
+    out_rows = []
+    keys = group_keys.to_numpy()
+    codes, _ = pd.factorize(group_keys)
+    order = np.argsort(codes, kind="stable")
+    sorted_keys = keys[order]
+    boundaries = np.nonzero(np.diff(codes[order]) != 0)[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    stops = np.concatenate([boundaries, [len(sorted_keys)]])
+    for a, b in zip(starts, stops):
+        rows = order[a:b]
+        sub = log_mat[rows]
+        w = weights[rows]
+        if sub.size == 0:
+            continue
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            row_med = np.nanmedian(sub, axis=1, keepdims=True)
+            centered = sub - row_med
+            profile = np.array(
+                [
+                    _weighted_nanmedian(centered[:, j], w)
+                    for j in range(centered.shape[1])
+                ]
+            )
+            level = _weighted_nanmedian(row_med[:, 0], w)
+        est = profile + level
+        if np.isfinite(est).sum() < min_nonnan:
+            continue
+        out_rows.append([sorted_keys[a], *np.power(2.0, est)])
+    out = pd.DataFrame(out_rows, columns=["group", *run_columns])
+    logger.info(
+        f"QuantSelect LFQ: quantified {len(out)} groups over {len(run_columns)} runs"
+    )
     return out

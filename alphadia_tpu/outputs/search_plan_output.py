@@ -24,7 +24,14 @@ from alphadia_tpu.exceptions import NoPsmFoundError, TooFewProteinsError
 from alphadia_tpu.outputs.df_builders import build_internal_df, build_stat_df
 from alphadia_tpu.outputs.grouping import perform_grouping
 from alphadia_tpu.outputs.protein_fdr import perform_protein_fdr
-from alphadia_tpu.outputs.quant import accumulate_frag_df, direct_lfq, filter_frag_df
+from alphadia_tpu.outputs.quant import (
+    DEFAULT_FEATURES,
+    QUANTSELECT_FEATURES,
+    accumulate_frag_df,
+    direct_lfq,
+    filter_frag_df,
+    quantselect_lfq,
+)
 from alphadia_tpu.reporting import logger
 
 PSM_OUTPUT_NAME = "precursors"
@@ -210,13 +217,18 @@ class SearchPlanOutput:
             logger.warning("no fragment data found; skipping LFQ")
             return psm_df
 
-        intensity_df, corr_df = accumulate_frag_df(run_frames)
+        method = self.config["search_output"].get("normalization_method", "directlfq")
+        columns = QUANTSELECT_FEATURES if method == "quantselect" else DEFAULT_FEATURES
+        feature_dfs = accumulate_frag_df(run_frames, columns=columns)
         intensity_df, corr_df = filter_frag_df(
-            intensity_df,
-            corr_df,
+            feature_dfs["intensity"],
+            feature_dfs["correlation"],
             min_correlation=self.config["search_output"]["min_correlation"],
             top_n=self.config["search_output"]["min_k_fragments"],
         )
+        # keep all feature matrices aligned with the filtered ion rows
+        keep_mask = feature_dfs["intensity"]["ion"].isin(intensity_df["ion"]).to_numpy()
+        feature_dfs = {k: v[keep_mask] for k, v in feature_dfs.items()}
         run_cols = list(run_frames.keys())
 
         # map precursor_idx -> group keys from the psm table
@@ -245,13 +257,22 @@ class SearchPlanOutput:
                 continue
             keys = key_maps[level].reindex(intensity_df["precursor_idx"]).to_numpy()
             valid = pd.notna(keys)
-            lfq = direct_lfq(
-                intensity_df[valid],
-                pd.Series(keys[valid]),
-                run_cols,
-                normalize=normalize,
-                min_nonnan=min_nonnan if len(run_cols) >= min_nonnan else 1,
-            )
+            eff_min_nonnan = min_nonnan if len(run_cols) >= min_nonnan else 1
+            if method == "quantselect":
+                lfq = quantselect_lfq(
+                    {k: v[valid] for k, v in feature_dfs.items()},
+                    pd.Series(keys[valid]),
+                    run_cols,
+                    min_nonnan=eff_min_nonnan,
+                )
+            else:
+                lfq = direct_lfq(
+                    intensity_df[valid],
+                    pd.Series(keys[valid]),
+                    run_cols,
+                    normalize=normalize,
+                    min_nonnan=eff_min_nonnan,
+                )
             out_name = PG_OUTPUT_NAME if level == QuantLevelName.PROTEIN else f"{level}.matrix"
             self._write_matrix(lfq, out_name, level)
 

@@ -24,9 +24,7 @@ from alphadia_tpu.parallel.mesh import DATA_AXIS
 
 def extract_xic_pallas_sharded(
     mesh: Mesh,
-    peak_mz_2d,
-    peak_int_2d,
-    peak_cycle_2d,
+    peak_packed,
     cell_start,
     slot_idx,  # [B, Q] — B must divide by the mesh size
     query_mz,
@@ -61,14 +59,14 @@ def extract_xic_pallas_sharded(
         interpret=interpret,
     )
 
-    def _local(pmz, pint, pcyc, cs, sidx, qmz, tol, c0):
-        return kernel(pmz, pint, pcyc, cs, sidx, qmz, tol, c0)
+    def _local(packed, cs, sidx, qmz, tol, c0):
+        return kernel(packed, cs, sidx, qmz, tol, c0)
 
     sharded = jax.shard_map(
         _local,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(), P(),  # peak store: replicated
+            P(), P(),  # peak store + cell index: replicated
             P(DATA_AXIS), P(DATA_AXIS),  # queries: batch-sharded
             P(),  # tolerance scalar
             P(DATA_AXIS),  # cycle_start
@@ -77,6 +75,6 @@ def extract_xic_pallas_sharded(
         check_vma=False,
     )
     return sharded(
-        peak_mz_2d, peak_int_2d, peak_cycle_2d, cell_start,
+        peak_packed, cell_start,
         slot_idx, query_mz, tol_ppm, cycle_start,
     )

@@ -325,14 +325,8 @@ class DiaData:
         if self._device is None:
             import jax.numpy as jnp
 
-            n = len(self.peak_mz)
-            n_pad = ((n + 127) // 128) * 128
-            mz_p = np.concatenate(
-                [self.peak_mz, np.full(n_pad - n, np.float32(np.inf))]
-            )
-            int_p = np.concatenate(
-                [self.peak_intensity, np.zeros(n_pad - n, np.float32)]
-            )
+            from alphadia_tpu.ops.xic_pallas import pack_peak_store
+
             # cycle of every stored peak, reconstructed from the cell index
             counts = np.diff(
                 np.concatenate(
@@ -346,9 +340,6 @@ class DiaData:
                 ),
                 counts,
             )
-            cyc_p = np.concatenate(
-                [cyc, np.full(n_pad - len(cyc), -1, np.int32)]
-            )
             self._device = {
                 "peak_mz": jnp.asarray(self.peak_mz),
                 "peak_intensity": jnp.asarray(self.peak_intensity),
@@ -357,10 +348,13 @@ class DiaData:
                     if self.peak_scanbin is not None
                     else np.zeros(len(self.peak_mz), np.int32)
                 ),
-                # 2D [N/128, 128] views for the pallas DMA kernel
-                "peak_mz_2d": jnp.asarray(mz_p.reshape(-1, 128)),
-                "peak_int_2d": jnp.asarray(int_p.reshape(-1, 128)),
-                "peak_cycle_2d": jnp.asarray(cyc_p.reshape(-1, 128)),
+                # interleaved [NR, 4, 128] store: one DMA per slab in the
+                # pallas kernel (fields mz, intensity, cycle, scanbin)
+                "peak_packed": jnp.asarray(
+                    pack_peak_store(
+                        self.peak_mz, self.peak_intensity, cyc, self.peak_scanbin
+                    )
+                ),
                 "cell_start": jnp.asarray(self.cell_start),
                 "cycle_rt": jnp.asarray(self.cycle_rt),
             }

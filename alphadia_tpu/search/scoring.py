@@ -254,6 +254,26 @@ class CandidateScoring:
         half = np.maximum(frame_center - frame_start, frame_stop - frame_center)
         W = bucket_window(max(2 * int(half.max()) + 1, 16))
 
+        # candidate scan (mobility) window; degenerate [0, 1) for 3D data
+        n = len(frame_center)
+        if dia.has_mobility and "scan_start" in cand.columns:
+            S = dia.n_scan_bins
+            scan_lo = np.clip(
+                cand["scan_start"].to_numpy(np.int64), 0, S - 1
+            ).astype(np.int32)
+            scan_hi = np.clip(
+                cand["scan_stop"].to_numpy(np.int64), 1, S
+            ).astype(np.int32)
+            scan_hi = np.maximum(scan_hi, scan_lo + 1)
+            mv = np.asarray(dia.mobility_values, np.float32)
+            mobility_width = np.abs(
+                mv[np.clip(scan_hi - 1, 0, S - 1)] - mv[scan_lo]
+            ).astype(np.float32)
+        else:
+            scan_lo = np.zeros(n, np.int32)
+            scan_hi = np.ones(n, np.int32)
+            mobility_width = np.zeros(n, np.float32)
+
         out.update(
             {
                 "rows": rows,
@@ -266,71 +286,13 @@ class CandidateScoring:
                 "frame_center": frame_center,
                 "frame_start": frame_start,
                 "frame_stop": frame_stop,
+                "scan_lo": scan_lo,
+                "scan_hi": scan_hi,
+                "mobility_width": mobility_width,
                 "window_len": W,
             }
         )
         return out
-
-    # ------------------------------------------------------------------
-    def _mobility_observation(self, arrays) -> tuple[np.ndarray, np.ndarray] | None:
-        """Observed mobility + FWHM per candidate from the 4D scan profile.
-
-        One extra slab pass over the top fragments in a short quant window:
-        profile[S] = sum of fragment XIC per scan bin; mobility_observed is
-        its intensity-weighted mean, mobility_fwhm the half-max width
-        (reference: per-scan dense accumulation in get_dense +
-        features/precursor.py mobility features).
-        """
-        dia = self.dia
-        if not dia.has_mobility or dia.n_scan_bins <= 1:
-            return None
-        from alphadia_tpu.ops.xic import extract_xic_4d
-
-        dev = dia.device_arrays()
-        cfg = self.config
-        S = dia.n_scan_bins
-        W = 16
-        B = len(arrays["frame_center"])
-        slot = np.where(
-            arrays["frag_valid"], arrays["ms2_slot"][:, :1], -1
-        ).astype(np.int32)
-        qmz = arrays["frag_mz"]
-        c0 = np.clip(
-            arrays["frame_center"] - W // 2, 0, max(dia.n_cycles - W, 0)
-        ).astype(np.int32)
-
-        profs = []
-        Bsz = effective_batch(cfg.batch_size, B)
-        for b0 in range(0, B, Bsz):
-            b1 = min(b0 + Bsz, B)
-            pad = Bsz - (b1 - b0)
-
-            def _pad(a):
-                sl = a[b0:b1]
-                if pad:
-                    sl = np.concatenate([sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
-                return sl
-
-            x4 = extract_xic_4d(
-                dev["peak_mz"], dev["peak_intensity"], dev["peak_scanbin"],
-                dev["cell_start"], _pad(slot), _pad(qmz),
-                np.float32(cfg.fragment_mz_tolerance), _pad(c0),
-                n_cycles=dia.n_cycles, n_bins=dia.n_bins,
-                bin_mz_min=dia.bin_mz_min, bin_width=dia.coarse_bin_width,
-                n_scan_bins=S, slab=cfg.gather_slab, window_len=W,
-            )
-            profs.append(np.asarray(x4.sum(axis=(1, 3)))[: b1 - b0])
-        prof = np.concatenate(profs)  # [B, S]
-
-        centers = np.asarray(dia.mobility_values, np.float64)
-        tot = prof.sum(axis=1)
-        mob_obs = np.where(
-            tot > 0, (prof * centers[None, :]).sum(axis=1) / np.maximum(tot, 1e-9), 0.0
-        )
-        half = prof.max(axis=1, keepdims=True) * 0.5
-        bin_w = (dia.mobility_max - dia.mobility_min) / S
-        fwhm = (prof >= np.maximum(half, 1e-12)).sum(axis=1) * bin_w
-        return mob_obs.astype(np.float32), fwhm.astype(np.float32)
 
     # ------------------------------------------------------------------
     def _mesh(self):
@@ -364,6 +326,7 @@ class CandidateScoring:
             n_bins=dia.n_bins,
             bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width,
+            n_scan_bins=dia.n_scan_bins if dia.has_mobility else 1,
             slab=cfg.gather_slab,
             window_len=W,
             quant_window=cfg.quant_window,
@@ -373,10 +336,13 @@ class CandidateScoring:
         )
 
         n = len(cand)
-        Bsz = effective_batch(cfg.batch_size, n)
+        cap = cfg.batch_size
+        if dia.has_mobility and dia.n_scan_bins > 1:
+            cap = min(cap, 4096)  # scan-profile extraction is S-times heavier
+        Bsz = effective_batch(cap, n)
         feat_rows = []
         valid_rows = []
-        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity")}
+        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity", "scan_com")}
 
         # upload all per-candidate arrays once (padded to a batch multiple);
         # batches are device-side slices — no per-batch host->device copies
@@ -387,7 +353,7 @@ class CandidateScoring:
             "frag_mz", "frag_valid", "frag_intensity", "frag_type",
             "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
             "ms1_slot", "win_lo", "win_hi", "frame_center", "frame_start",
-            "frame_stop",
+            "frame_stop", "scan_lo", "scan_hi", "mobility_width",
         )
 
         def _full(a):
@@ -415,8 +381,8 @@ class CandidateScoring:
             if mesh is None:
                 # single dispatch per batch: slice-on-device inside the jit
                 features, valid, frag_out = score_candidates_batch_sliced(
-                    dev["peak_mz"], dev["peak_intensity"], dev["peak_mz_2d"],
-                    dev["peak_int_2d"], dev["peak_cycle_2d"],
+                    dev["peak_mz"], dev["peak_intensity"], dev["peak_packed"],
+                    dev["peak_scanbin"],
                     dev["cell_start"], dev["cycle_rt"],
                     batch_dev["frag_mz"], batch_dev["frag_valid"],
                     batch_dev["frag_intensity"], batch_dev["frag_type"],
@@ -425,7 +391,8 @@ class CandidateScoring:
                     batch_dev["ms1_slot"], batch_dev["win_lo"],
                     batch_dev["win_hi"], qs, qd,
                     batch_dev["frame_center"], batch_dev["frame_start"],
-                    batch_dev["frame_stop"],
+                    batch_dev["frame_stop"], batch_dev["scan_lo"],
+                    batch_dev["scan_hi"], batch_dev["mobility_width"],
                     np.int32(b0), ftol, ptol, bsz=Bsz, **static_kw,
                 )
                 pending.append((Bsz - pad, features, valid, frag_out))
@@ -440,9 +407,8 @@ class CandidateScoring:
             features, valid, frag_out = score_candidates_batch(
                 dev["peak_mz"],
                 dev["peak_intensity"],
-                dev["peak_mz_2d"],
-                dev["peak_int_2d"],
-                dev["peak_cycle_2d"],
+                dev["peak_packed"],
+                dev["peak_scanbin"],
                 dev["cell_start"],
                 dev["cycle_rt"],
                 _pad("frag_mz"),
@@ -461,6 +427,9 @@ class CandidateScoring:
                 _pad("frame_center"),
                 _pad("frame_start"),
                 _pad("frame_stop"),
+                _pad("scan_lo"),
+                _pad("scan_hi"),
+                _pad("mobility_width"),
                 ftol,
                 ptol,
                 **static_kw,
@@ -484,10 +453,18 @@ class CandidateScoring:
             psm_df[f"obs_intensity_{o}"] = frag_out["obs_intensity"][:, o]
             psm_df[f"obs_win_lo_{o}"] = arrays["win_lo"][:, o]
             psm_df[f"obs_win_hi_{o}"] = arrays["win_hi"][:, o]
-        mob = self._mobility_observation(arrays)
-        if mob is not None:
-            psm_df["mobility_observed"] = mob[0]
-            psm_df["mobility_fwhm"] = mob[1]
+        if self.dia.has_mobility and self.dia.n_scan_bins > 1:
+            # kernel scan center of mass (bin units) -> mobility values;
+            # mobility_fwhm (feature 39) is already computed in-kernel
+            S = self.dia.n_scan_bins
+            span = self.dia.mobility_max - self.dia.mobility_min
+            com = frag_out["scan_com"]
+            psm_df["mobility_observed"] = np.where(
+                com > 0, self.dia.mobility_min + com / S * span, 0.0
+            ).astype(np.float32)
+            # base_width_mobility (feature 0): candidate scan extent
+            # (reference location_features.py:19-22)
+            psm_df["base_width_mobility"] = arrays["mobility_width"]
         psm_df["precursor_idx"] = cand["precursor_idx"].to_numpy()
         psm_df["rank"] = cand["rank"].to_numpy()
         psm_df["score"] = cand["score"].to_numpy() if "score" in cand.columns else 0.0

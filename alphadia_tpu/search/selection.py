@@ -316,8 +316,7 @@ class CandidateSelection:
                 else:
                     result = select_candidates_batch_sliced(
                         dev["peak_mz"], dev["peak_intensity"],
-                        dev["peak_mz_2d"], dev["peak_int_2d"],
-                        dev["peak_cycle_2d"], dev["cell_start"],
+                        dev["peak_packed"], dev["cell_start"],
                         batch_dev["frag_slot"], batch_dev["frag_mz"],
                         batch_dev["iso_slot"], batch_dev["iso_mz"],
                         batch_dev["cycle_start"],
@@ -355,9 +354,7 @@ class CandidateSelection:
                 result = select_candidates_batch(
                     dev["peak_mz"],
                     dev["peak_intensity"],
-                    dev["peak_mz_2d"],
-                    dev["peak_int_2d"],
-                    dev["peak_cycle_2d"],
+                    dev["peak_packed"],
                     dev["cell_start"],
                     _pad("frag_slot"),
                     _pad("frag_mz"),

@@ -95,7 +95,8 @@ def main() -> None:
     n_padded = ((n + Bsz - 1) // Bsz) * Bsz
     keys = ("frag_mz", "frag_valid", "frag_intensity", "frag_type", "frag_position",
             "iso_mz", "iso_intensity", "ms2_slot", "ms1_slot", "win_lo", "win_hi",
-            "frame_center", "frame_start", "frame_stop")
+            "frame_center", "frame_start", "frame_stop", "scan_lo", "scan_hi",
+            "mobility_width")
 
     def _full(a):
         if n_padded > n:
@@ -105,7 +106,9 @@ def main() -> None:
     bd = {k: _full(arrays[k]) for k in keys}
     static_kw = dict(
         n_cycles=dia.n_cycles, n_bins=dia.n_bins, bin_mz_min=dia.bin_mz_min,
-        bin_width=dia.coarse_bin_width, slab=cfg.gather_slab, window_len=W,
+        bin_width=dia.coarse_bin_width,
+        n_scan_bins=dia.n_scan_bins if dia.has_mobility else 1,
+        slab=cfg.gather_slab, window_len=W,
         quant_window=cfg.quant_window, quant_all=cfg.quant_all,
         experimental_xic=cfg.experimental_xic,
         use_pallas=_pallas_available() and cfg.use_pallas,
@@ -121,13 +124,15 @@ def main() -> None:
 
     def kernel_once(b0):
         f, v, fo = score_candidates_batch_sliced(
-            dev["peak_mz"], dev["peak_intensity"], dev["peak_mz_2d"],
-            dev["peak_int_2d"], dev["peak_cycle_2d"], dev["cell_start"],
+            dev["peak_mz"], dev["peak_intensity"], dev["peak_packed"],
+            dev["peak_scanbin"],
+            dev["cell_start"],
             dev["cycle_rt"],
             bd["frag_mz"], bd["frag_valid"], bd["frag_intensity"], bd["frag_type"],
             bd["frag_position"], bd["iso_mz"], bd["iso_intensity"], bd["ms2_slot"],
             bd["ms1_slot"], bd["win_lo"], bd["win_hi"], qs, qd,
             bd["frame_center"], bd["frame_start"], bd["frame_stop"],
+            bd["scan_lo"], bd["scan_hi"], bd["mobility_width"],
             np.int32(b0), ftol, ptol, bsz=Bsz, **static_kw,
         )
         return float(_reduce(f))
@@ -159,7 +164,7 @@ def main() -> None:
 
     def xic_once(shift):
         i, m = extract_xic_pallas(
-            dev["peak_mz_2d"], dev["peak_int_2d"], dev["peak_cycle_2d"],
+            dev["peak_packed"],
             dev["cell_start"], fslot_d, fmzq_d + shift, ftol, c0_d,
             n_cycles=dia.n_cycles, n_bins=dia.n_bins, bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width, slab=cfg.gather_slab, window_len=W,

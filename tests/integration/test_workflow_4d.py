@@ -97,3 +97,12 @@ def test_full_workflow_4d(synthetic_4d_run):
     # candidates carry real scan coordinates
     assert (psm_df["scan_stop"] - psm_df["scan_start"] >= 1).all()
     assert psm_df["scan_center"].max() > 0
+
+    # in-kernel 4D features are live (not the 3D hard zeros):
+    # scan correlations (29/30), mobility fwhm (39), base width (0)
+    assert psm_df["fragment_scan_correlation"].abs().max() > 0.1
+    assert psm_df["template_scan_correlation"].abs().max() > 0.1
+    assert (psm_df["mobility_fwhm"] > 0).mean() > 0.5
+    assert (psm_df["base_width_mobility"] > 0).any()
+    # true hits should show coherent scan profiles on average
+    assert psm_df["fragment_scan_correlation"].median() > 0.2

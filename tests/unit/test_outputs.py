@@ -94,7 +94,8 @@ def test_lfq_pipeline():
                 )
         runs[run] = pd.DataFrame(rows)
 
-    inten, corr = accumulate_frag_df(runs)
+    feats = accumulate_frag_df(runs)
+    inten, corr = feats["intensity"], feats["correlation"]
     assert inten.shape[0] == n_prec * 5
     inten_f, corr_f = filter_frag_df(inten, corr, min_correlation=0.99, top_n=3)
     counts = inten_f.groupby("precursor_idx").size()

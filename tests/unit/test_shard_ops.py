@@ -49,7 +49,7 @@ def test_pallas_sharded_matches_xla(rng):
     got = np.asarray(
         extract_xic_pallas_sharded(
             mesh,
-            arr["peak_mz_2d"], arr["peak_int_2d"], arr["peak_cycle_2d"],
+            arr["peak_packed"],
             arr["cell_start"], q_slot, q_mz, np.float32(10.0), c0, **kw,
         )
     )

@@ -43,7 +43,7 @@ def test_pallas_matches_xla(setup, with_mz):
         slot_idx, query_mz, np.float32(50.0), cycle_start, **kw,
     )
     pls = extract_xic_pallas(
-        dev["peak_mz_2d"], dev["peak_int_2d"], dev["peak_cycle_2d"], dev["cell_start"],
+        dev["peak_packed"], dev["cell_start"],
         slot_idx, query_mz, np.float32(50.0), cycle_start,
         interpret=True, **kw,
     )

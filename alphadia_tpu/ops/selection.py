@@ -175,6 +175,7 @@ def select_candidates_batch(
     jax.jit,
     static_argnames=(
         "bsz",
+        "pack_output",
         "n_cycles",
         "n_bins",
         "slab",
@@ -197,13 +198,14 @@ def select_candidates_batch_sliced(
     cycle_start_full, n_valid_fragments_full,
     b0,  # i32 scalar batch offset
     kernel, fragment_tol_ppm, precursor_tol_ppm,
-    *, bsz: int, **static_kw,
+    *, bsz: int, pack_output: bool = False, **static_kw,
 ):
     """One dispatch per batch: slice the uploaded full arrays on device and
     run the selection kernel (a host-side eager slice per input array would
-    cost one dispatch round-trip each on the remote-TPU tunnel)."""
+    cost one dispatch round-trip each on the remote-TPU tunnel).  With
+    ``pack_output`` the result dict comes back as one uint32 buffer."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
-    return select_candidates_batch(
+    result = select_candidates_batch(
         peak_mz, peak_intensity, peak_packed,
         cell_start,
         sl(frag_slot_full), sl(frag_mz_full), sl(iso_slot_full),
@@ -212,6 +214,11 @@ def select_candidates_batch_sliced(
         sl(n_valid_fragments_full),
         **static_kw,
     )
+    if pack_output:
+        from alphadia_tpu.ops.packing import pack_u32
+
+        return pack_u32(result)
+    return result
 
 
 _SCAN_SMOOTH = (0.25, 0.5, 0.25)  # fixed 3-tap kernel along the scan axis
@@ -364,6 +371,7 @@ def select_candidates_batch_4d(
     jax.jit,
     static_argnames=(
         "bsz",
+        "pack_output",
         "n_cycles",
         "n_bins",
         "n_scan_bins",
@@ -387,11 +395,11 @@ def select_candidates_batch_4d_sliced(
     cycle_start_full, n_valid_fragments_full,
     b0,
     kernel, fragment_tol_ppm, precursor_tol_ppm,
-    *, bsz: int, **static_kw,
+    *, bsz: int, pack_output: bool = False, **static_kw,
 ):
     """4D analog of select_candidates_batch_sliced."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
-    return select_candidates_batch_4d(
+    result = select_candidates_batch_4d(
         peak_mz, peak_intensity, peak_scanbin, cell_start,
         sl(frag_slot_full), sl(frag_mz_full), sl(iso_slot_full),
         sl(iso_mz_full), sl(cycle_start_full),
@@ -399,3 +407,8 @@ def select_candidates_batch_4d_sliced(
         sl(n_valid_fragments_full),
         **static_kw,
     )
+    if pack_output:
+        from alphadia_tpu.ops.packing import pack_u32
+
+        return pack_u32(result)
+    return result

@@ -17,8 +17,9 @@ import pandas as pd
 
 from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
 from alphadia_tpu.ops.scoring import (
-    score_candidates_batch,
+    score_candidates_batch_packed,
     score_candidates_batch_sliced,
+    unpack_scoring_output,
 )
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
@@ -379,8 +380,9 @@ class CandidateScoring:
             pad = Bsz - (b1 - b0)
 
             if mesh is None:
-                # single dispatch per batch: slice-on-device inside the jit
-                features, valid, frag_out = score_candidates_batch_sliced(
+                # single dispatch per batch: slice-on-device inside the jit;
+                # packed output = single device->host download per batch
+                packed = score_candidates_batch_sliced(
                     dev["peak_mz"], dev["peak_intensity"], dev["peak_packed"],
                     dev["peak_scanbin"],
                     dev["cell_start"], dev["cycle_rt"],
@@ -393,9 +395,10 @@ class CandidateScoring:
                     batch_dev["frame_center"], batch_dev["frame_start"],
                     batch_dev["frame_stop"], batch_dev["scan_lo"],
                     batch_dev["scan_hi"], batch_dev["mobility_width"],
-                    np.int32(b0), ftol, ptol, bsz=Bsz, **static_kw,
+                    np.int32(b0), ftol, ptol, bsz=Bsz, pack_output=True,
+                    **static_kw,
                 )
-                pending.append((Bsz - pad, features, valid, frag_out))
+                pending.append((Bsz - pad, b0, packed))
                 continue
 
             def _pad(key):
@@ -404,7 +407,7 @@ class CandidateScoring:
                 sl = batch_dev[key][b0 : b0 + Bsz]
                 return _jax.device_put(np.asarray(sl), batch_sharding(mesh))
 
-            features, valid, frag_out = score_candidates_batch(
+            packed = score_candidates_batch_packed(
                 dev["peak_mz"],
                 dev["peak_intensity"],
                 dev["peak_packed"],
@@ -434,13 +437,25 @@ class CandidateScoring:
                 ptol,
                 **static_kw,
             )
-            pending.append((Bsz - pad, features, valid, frag_out))
+            pending.append((Bsz - pad, b0, packed))
 
-        for take, features, valid, frag_out in pending:
-            feat_rows.append(np.asarray(features)[:take])
-            valid_rows.append(np.asarray(valid)[:take])
+        KF = cfg.top_k_fragments
+        for take, b0, packed in pending:
+            features, valid, frag_out = unpack_scoring_output(
+                np.asarray(packed)[:take], KF, arrays["ms2_slot"].shape[1]
+            )
+            # mz_observed reconstructed exactly from mass_error (ppm, f16:
+            # resolution ~0.01 ppm) and the queried library m/z
+            fmz = arrays["frag_mz"][b0 : b0 + take]
+            frag_out["mz_observed"] = np.where(
+                frag_out["valid"] & (frag_out["height"] > 0),
+                fmz * (1.0 + frag_out["mass_error"] * 1e-6),
+                0.0,
+            ).astype(np.float32)
+            feat_rows.append(features)
+            valid_rows.append(valid)
             for k in frag_out_rows:
-                frag_out_rows[k].append(np.asarray(frag_out[k])[:take])
+                frag_out_rows[k].append(frag_out[k][:take])
 
         features = np.concatenate(feat_rows)
         valid = np.concatenate(valid_rows)

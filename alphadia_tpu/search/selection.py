@@ -311,7 +311,8 @@ class CandidateSelection:
                         batch_dev["iso_slot"], batch_dev["iso_mz"],
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
-                        bi, kernel, ftol, ptol, bsz=Bsz, **static_kw,
+                        bi, kernel, ftol, ptol, bsz=Bsz, pack_output=True,
+                        **static_kw,
                     )
                 else:
                     result = select_candidates_batch_sliced(
@@ -321,7 +322,8 @@ class CandidateSelection:
                         batch_dev["iso_slot"], batch_dev["iso_mz"],
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
-                        bi, kernel, ftol, ptol, bsz=Bsz, **static_kw,
+                        bi, kernel, ftol, ptol, bsz=Bsz, pack_output=True,
+                        **static_kw,
                     )
                 pending.append((b0, pad, result))
                 continue
@@ -369,8 +371,24 @@ class CandidateSelection:
                 )
             pending.append((b0, pad, result))
 
+        K = cfg.candidate_count
+        unpack_spec = {
+            "valid": ("bool", K), "rank": ("int32", K), "score": ("float32", K),
+            "cycle_center": ("int32", K), "cycle_start": ("int32", K),
+            "cycle_stop": ("int32", K),
+        }
+        if use_4d:
+            unpack_spec.update(
+                scan_center=("int32", K), scan_start=("int32", K),
+                scan_stop=("int32", K),
+            )
         for b0, pad, result in pending:
-            result = {k: np.asarray(v) for k, v in result.items()}
+            if isinstance(result, dict):  # mesh path (unpacked)
+                result = {k: np.asarray(v) for k, v in result.items()}
+            else:  # packed single-download buffer
+                from alphadia_tpu.ops.packing import unpack_u32
+
+                result = unpack_u32(np.asarray(result), unpack_spec)
             valid = result["valid"].copy()
             if pad:
                 valid[Bsz - pad :] = False

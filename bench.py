@@ -61,8 +61,13 @@ def _run_pipeline(dia, prec, frag, rt_tol=60.0, batch_size=4096):
     return psm
 
 
-def measure(n_peptides=6000, n_cycles=600, batch_size=4096) -> float:
-    """Return steady-state precursors/second (selection + scoring)."""
+def measure(n_peptides=6000, n_cycles=600, batch_size=4096):
+    """Steady-state precursors/second plus a per-phase wall-clock profile.
+
+    Returns (rate, phases) where phases maps phase name -> seconds per run.
+    """
+    from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
+    from alphadia_tpu.search.selection import CandidateSelection, SelectionConfig
     from alphadia_tpu.utils.device import enable_compilation_cache
 
     enable_compilation_cache()
@@ -79,17 +84,69 @@ def measure(n_peptides=6000, n_cycles=600, batch_size=4096) -> float:
         )
         return p
 
+    def run_once(p, phases=None):
+        t0 = time.time()
+        sel = CandidateSelection(
+            dia, p, frag,
+            SelectionConfig(rt_tolerance=60.0, candidate_count=3, batch_size=batch_size),
+        )
+        cands = sel()
+        t1 = time.time()
+        score = CandidateScoring(
+            dia, p, frag, ScoringConfig(batch_size=batch_size, collect_fragments=True)
+        )
+        psm, _ = score(cands)
+        t2 = time.time()
+        if phases is not None:
+            phases["selection"] = phases.get("selection", 0.0) + (t1 - t0)
+            phases["scoring"] = phases.get("scoring", 0.0) + (t2 - t1)
+        return psm
+
     # warmups: candidate extents vary slightly between jitters, which can
     # touch more than one scoring window bucket — compile them all first
     for _ in range(3):
-        _run_pipeline(dia, jittered(), frag, batch_size=batch_size)
+        run_once(jittered())
 
+    phases: dict = {}
     t0 = time.time()
     n_runs = 3
     for _ in range(n_runs):
-        _run_pipeline(dia, jittered(), frag, batch_size=batch_size)
+        run_once(jittered(), phases)
     dt = (time.time() - t0) / n_runs
-    return len(prec) / dt
+    phases = {k: round(v / n_runs, 3) for k, v in phases.items()}
+    return len(prec) / dt, phases
+
+
+# TPU v5e peak: ~197 TFLOP/s bf16, ~98 f32 (per chip), ~819 GB/s HBM.
+# The hot path is slab gather + vector math (VPU), so FLOP-side MFU is
+# expected to be low; the roofline numbers show whether optimization
+# should target compute, HBM traffic, or host transfers.
+_PEAK_FLOPS_F32 = 98e12
+_PEAK_HBM_BPS = 819e9
+
+
+def _roofline(n_candidates: int, scoring_seconds: float) -> dict:
+    """Analytic FLOP/byte estimate for the scoring phase (documented model,
+    independent of XLA's cost analysis, which the relay backend does not
+    expose).
+
+    Per candidate (defaults KF=12 fragments, O2=2 quad obs, KI=3 isotopes,
+    W=16-cycle window, slab=256 gathered peaks/query):
+      - XIC gather: (KF*O2 + KI) * slab peaks * 8 B (mz+intensity reads)
+      - dense pipeline: ~60 elementwise/reduction passes over [KF, O2, W]
+        f32 plus the KFxKF frame/scan correlation einsums.
+    """
+    KF, O2, KI, W, SLAB = 12, 2, 3, 16, 256
+    flops = n_candidates * (60 * KF * O2 * W + KF * KF * W * 3)
+    gather_bytes = n_candidates * (KF * O2 + KI) * SLAB * 8
+    dense_bytes = n_candidates * KF * O2 * W * 4 * 8  # ~8 materialized passes
+    t = max(scoring_seconds, 1e-9)
+    return {
+        "mfu": round(flops / t / _PEAK_FLOPS_F32, 5),
+        "hbm_util": round((gather_bytes + dense_bytes) / t / _PEAK_HBM_BPS, 4),
+        "gflops_per_s": round(flops / t / 1e9, 1),
+        "hbm_gb_per_s": round((gather_bytes + dense_bytes) / t / 1e9, 1),
+    }
 
 
 def main() -> None:
@@ -99,11 +156,11 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         # the CPU baseline gets its own best configuration (smaller
         # batches are cache-friendlier on 4 cores)
-        rate = measure(n_peptides=600, n_cycles=300, batch_size=1024)
+        rate, _ = measure(n_peptides=600, n_cycles=300, batch_size=1024)
         print(json.dumps({"cpu_rate": rate}))
         return
 
-    rate = measure()
+    rate, phases = measure()
 
     baseline_rate = None
     try:
@@ -121,6 +178,8 @@ def main() -> None:
         pass
 
     vs_baseline = rate / baseline_rate if baseline_rate else 0.0
+    # ~2.2 candidates scored per library precursor in this workload
+    n_cands = int(12000 * 2.2)
     print(
         json.dumps(
             {
@@ -128,6 +187,8 @@ def main() -> None:
                 "value": round(rate, 1),
                 "unit": "prec/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "phases_s": phases,
+                "roofline_scoring": _roofline(n_cands, phases.get("scoring", 0.0)),
             }
         )
     )

@@ -44,9 +44,11 @@ def test_scoring_shapes_and_features(searched):
     assert (det["sum_ms1_intensity"] > 0).mean() > 0.9
     assert det["fragment_frame_correlation"].median() > 0.5
 
-    # mass error features should recover the +4 ppm synthetic bias
+    # mass error features should recover the +4 ppm synthetic bias;
+    # weighted_mass_deviation is an (unnormalized) isotope-intensity-weighted
+    # sum (reference precursor_features.py:73) — scale ~ 4 ppm x sum(iso)
     assert 2.0 < det["mean_ms2_mass_error"].median() < 6.0
-    assert 2.0 < det["weighted_mass_deviation"].median() < 6.0
+    assert 4.0 < det["weighted_mass_deviation"].median() < 10.0
 
 
 def test_scoring_fragment_output(searched):

@@ -94,17 +94,26 @@ class SimplePrediction(ProcessingStep):
         return isinstance(input_, SpecLibBase)
 
     def _load_manager(self):
-        if not self.model_path:
-            return None
         from pathlib import Path
 
-        if not (Path(self.model_path) / "models.pkl").exists():
+        path = self.model_path
+        if not path:
+            # packaged pretrained default (scripts/train_property_models.py),
+            # the role of the reference's shipped peptdeep weights
+            path = (
+                Path(__file__).parents[1]
+                / "constants"
+                / "weights"
+                / "peptdeep_default"
+            )
+        if not (Path(path) / "models.pkl").exists():
             return None
         from alphadia_tpu.models.finetune import FinetuneManager
         from alphadia_tpu.reporting import logger
 
-        logger.log(25, f"Using fine-tuned prediction models from {self.model_path}")
-        return FinetuneManager.load(self.model_path)
+        which = "fine-tuned" if self.model_path else "packaged pretrained"
+        logger.log(25, f"Using {which} prediction models from {path}")
+        return FinetuneManager.load(path)
 
     def forward(self, lib: SpecLibBase) -> SpecLibBase:
         df = lib.precursor_df
@@ -117,7 +126,26 @@ class SimplePrediction(ProcessingStep):
             ).astype(np.float32)
         else:
             df["rt_norm"] = predict_rt_norm(df["sequence"].tolist())
-        if "mobility" not in df.columns:
+        if manager is not None and "ccs" in manager.variables:
+            import jax.numpy as jnp
+
+            from alphadia_tpu.models.property_models import (
+                MobilityModel,
+                encode_sequences,
+            )
+
+            tokens, mod_mass = encode_sequences(
+                df["sequence"].tolist(),
+                df.get("mods", [""] * len(df)).tolist(),
+                df.get("mod_sites", [""] * len(df)).tolist(),
+            )
+            df["mobility"] = np.asarray(
+                MobilityModel().apply(
+                    manager.variables["ccs"], tokens, mod_mass,
+                    jnp.asarray(df["charge"].to_numpy(np.int32)),
+                )
+            ).astype(np.float32)
+        elif "mobility" not in df.columns:
             df["mobility"] = np.float32(0)
         if lib.fragment_mz_df is None:
             lib.calc_fragment_mz(

@@ -76,6 +76,7 @@ from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
         "quant_all",
         "experimental_xic",
         "use_pallas",
+        "compute_dtype",
     ),
 )
 def score_candidates_batch(
@@ -120,6 +121,7 @@ def score_candidates_batch(
     quant_all: bool = True,
     experimental_xic: bool = True,
     use_pallas: bool = False,
+    compute_dtype: str = "float32",
 ):
     B, KF = frag_mz.shape
     KI = iso_mz.shape[1]
@@ -163,6 +165,12 @@ def score_candidates_batch(
     d_frag_int = d_frag_int.reshape(B, KF, O2, W) * wmask[:, None, None, :]
     d_frag_mz = d_frag_mz.reshape(B, KF, O2, W) * wmask[:, None, None, :]
 
+    # bf16 compute path (tpu.compute_dtype): the dense intensity chains —
+    # profiles, correlations, areas — run at half the HBM traffic; all m/z
+    # and mass-error math stays f32 (d_frag_mz / d_prec_mz below).
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else f32
+    d_frag_int = d_frag_int.astype(cdt)
+
     # ---- dense precursors, observations collapsed [B, KI, W] ----------
     islot = jnp.broadcast_to(ms1_slot[:, None, :], (B, KI, O1))
     imzq = jnp.broadcast_to(iso_mz[:, :, None], (B, KI, O1))
@@ -173,7 +181,7 @@ def score_candidates_batch(
     )
     d_prec_int_o = d_prec_int_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
     d_prec_mz_o = d_prec_mz_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
-    d_prec_int = d_prec_int_o.sum(axis=2)  # [B, KI, W]
+    d_prec_int = d_prec_int_o.sum(axis=2).astype(cdt)  # [B, KI, W]
     nz = (d_prec_mz_o > 0).sum(axis=2).astype(f32)
     # reference sum/count; an eps in the DENOMINATOR here would bias the
     # observed m/z by -eps relative (-1 ppm at eps=1e-6, nz=1) — caught by
@@ -199,12 +207,15 @@ def score_candidates_batch(
     obs_raw_sum = d_frag_int.sum(axis=(1, 3))  # [B, O2]
 
     # mask fragments by mean transmission of the isotope envelope
+    # (cdt casts keep the [B,KF,O2,W] chains in the compute dtype — a f32
+    # operand would silently promote everything back)
     qtf_mask = qtf.mean(axis=1)  # [B, O2]
-    d_frag_int = d_frag_int * qtf_mask[:, None, :, None]
+    d_frag_int = d_frag_int * qtf_mask[:, None, :, None].astype(cdt)
 
     # template[B, O2, W] = sum_iso iso_int * qtf * precursor trace
     template = (
-        iso_intensity[:, :, None, None] * qtf[:, :, :, None] * d_prec_int[:, :, None, :]
+        (iso_intensity[:, :, None, None] * qtf[:, :, :, None]).astype(cdt)
+        * d_prec_int[:, :, None, :]
     ).sum(axis=1)
 
     t_sum = template.sum(axis=-1)  # [B, O2]
@@ -626,6 +637,7 @@ def unpack_scoring_output(packed, KF: int, O2: int, n_features: int | None = Non
         "quant_all",
         "experimental_xic",
         "use_pallas",
+        "compute_dtype",
     ),
 )
 def score_candidates_batch_packed(*args, **static_kw):
@@ -649,6 +661,7 @@ def score_candidates_batch_packed(*args, **static_kw):
         "quant_all",
         "experimental_xic",
         "use_pallas",
+        "compute_dtype",
     ),
 )
 def score_candidates_batch_sliced(

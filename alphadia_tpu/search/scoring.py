@@ -126,6 +126,9 @@ class ScoringConfig:
     quad_delta_mu: tuple = (0.0, 0.0)
     # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
     use_pallas: bool = True
+    # 'bfloat16' halves HBM traffic of the dense intensity chains on TPU;
+    # m/z and mass-error math stays f32 either way (tpu.compute_dtype)
+    compute_dtype: str = "float32"
 
 
 class CandidateScoring:
@@ -334,6 +337,7 @@ class CandidateScoring:
             quant_all=cfg.quant_all,
             experimental_xic=cfg.experimental_xic,
             use_pallas=_pallas_available() and cfg.use_pallas,
+            compute_dtype=cfg.compute_dtype,
         )
 
         n = len(cand)

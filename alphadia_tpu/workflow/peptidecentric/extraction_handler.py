@@ -16,6 +16,16 @@ from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
 from alphadia_tpu.search.selection import CandidateSelection, SelectionConfig
 
 
+def _resolve_compute_dtype(setting: str) -> str:
+    """'auto' -> bfloat16 on accelerators, float32 on CPU (validated <2%
+    feature deviation; m/z math is f32 regardless)."""
+    if setting != "auto":
+        return setting
+    import jax
+
+    return "float32" if jax.default_backend() == "cpu" else "bfloat16"
+
+
 class ExtractionHandler:
     def __init__(self, config, optimization_manager, column_name_handler):
         self._config = config
@@ -55,6 +65,7 @@ class ExtractionHandler:
             gather_slab=cfg["tpu"]["gather_slab"],
             quad_sigma=tuple(self._om.quad_sigma),
             quad_delta_mu=tuple(self._om.quad_delta_mu),
+            compute_dtype=_resolve_compute_dtype(cfg["tpu"]["compute_dtype"]),
         )
 
     # ------------------------------------------------------------------

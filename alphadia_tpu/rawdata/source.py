@@ -106,9 +106,14 @@ def load_raw_file(path: str | Path, thread_count: int = 4) -> SpectrumData:
         return read_alpharaw_hdf(path)
     if suffix == ".npz":
         return load_npz(path)
+    if suffix == ".d":
+        from alphadia_tpu.rawdata.bruker_tdf import read_bruker_d
+
+        return read_bruker_d(path)
     raise ValueError(
         f"Unsupported raw file format '{suffix}' ({path}). Supported: "
-        ".mzML, .hdf (alphaRaw), .npz. Convert vendor formats to mzML/HDF first."
+        ".mzML, .hdf (alphaRaw), .d (Bruker TDF), .npz. Convert other vendor "
+        "formats (.raw/.wiff) to mzML first."
     )
 
 

@@ -97,6 +97,17 @@ def run(argv: list[str] | None = None) -> None:
         print(f"alphadia-tpu {__version__}")
         return
 
+    # honor an explicit platform override before any jax backend init
+    # (some site configs register platforms programmatically, so the
+    # plain JAX_PLATFORMS env var is not always respected)
+    import os
+
+    platform = os.environ.get("ALPHADIA_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     if not args.output:
         parser.error("-o/--output is required")
 

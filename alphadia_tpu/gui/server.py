@@ -1,0 +1,240 @@
+"""Local web GUI server (reference role: MannLabs/alphadia's Electron
+app — one-click configuration + run monitoring — rebuilt as a
+zero-dependency local HTTP app: stdlib ThreadingHTTPServer, JSON API,
+a single static page, searches launched as CLI subprocesses).
+
+API:
+  GET  /api/schema          -> workflow parameter schema (gui/schema.py)
+  GET  /api/browse?path=    -> directory listing for the file picker
+  POST /api/run             -> start a search subprocess (one at a time)
+  GET  /api/status          -> job state + log tail + output summary
+  POST /api/cancel          -> terminate the running job's process group
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import signal
+import subprocess
+import sys
+import threading
+import webbrowser
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+from alphadia_tpu.gui.schema import build_schema
+
+logger = logging.getLogger(__name__)
+
+STATIC_DIR = Path(__file__).parent / "static"
+
+RAW_SUFFIXES = {".mzml", ".hdf", ".hdf5", ".h5", ".npz", ".d"}
+LIB_SUFFIXES = {".hdf", ".hdf5", ".h5", ".tsv", ".csv"}
+
+
+class JobManager:
+    """Single-slot search job runner (the GUI runs one plan at a time,
+    matching the reference GUI's sequential run model)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._proc: subprocess.Popen | None = None
+        self._info: dict = {"state": "idle"}
+
+    def start(self, payload: dict) -> dict:
+        with self._lock:
+            if self._proc is not None and self._proc.poll() is None:
+                return {"error": "a search is already running"}
+            output = payload.get("output_directory") or ""
+            raw_files = payload.get("raw_path_list") or []
+            if not output:
+                return {"error": "output_directory is required"}
+            if not raw_files:
+                return {"error": "at least one raw file is required"}
+            missing = [f for f in raw_files if not Path(f).exists()]
+            if missing:
+                return {"error": f"raw files not found: {missing}"}
+            cmd = [sys.executable, "-m", "alphadia_tpu.cli", "-o", output]
+            for f in raw_files:
+                cmd += ["-f", f]
+            if payload.get("library"):
+                cmd += ["-l", payload["library"]]
+            for fasta in payload.get("fasta_list") or []:
+                cmd += ["--fasta", fasta]
+            config = payload.get("config") or {}
+            if config:
+                cmd += ["--config-dict", json.dumps(config)]
+            Path(output).mkdir(parents=True, exist_ok=True)
+            log_path = Path(output) / "gui_run.log"
+            log_file = open(log_path, "wb")
+            # own process group so cancel kills the whole tree (exact
+            # pgid, never by pattern)
+            self._proc = subprocess.Popen(
+                cmd,
+                stdout=log_file,
+                stderr=subprocess.STDOUT,
+                start_new_session=True,
+            )
+            log_file.close()
+            self._info = {
+                "state": "running",
+                "pid": self._proc.pid,
+                "output_directory": output,
+                "log_path": str(log_path),
+                "cmd": cmd,
+            }
+            return {"ok": True, "pid": self._proc.pid}
+
+    def status(self) -> dict:
+        with self._lock:
+            info = dict(self._info)
+            proc = self._proc
+        if proc is not None and info.get("state") in ("running", "cancelling"):
+            rc = proc.poll()
+            if rc is not None:
+                info["state"] = (
+                    "done"
+                    if rc == 0
+                    else ("cancelled" if info.get("state") == "cancelling" else "failed")
+                )
+                info["returncode"] = rc
+                with self._lock:
+                    self._info = dict(info)
+        log_path = info.get("log_path")
+        if log_path and Path(log_path).exists():
+            data = Path(log_path).read_bytes()
+            info["log_tail"] = data[-16384:].decode("utf-8", errors="replace")
+        out = info.get("output_directory")
+        if info.get("state") == "done" and out:
+            results = {}
+            for name in ("precursors.parquet", "stat.tsv", "pg.matrix.parquet"):
+                p = Path(out) / name
+                if p.exists():
+                    results[name] = p.stat().st_size
+            info["results"] = results
+        return info
+
+    def cancel(self) -> dict:
+        with self._lock:
+            proc = self._proc
+            if proc is None or proc.poll() is not None:
+                return {"error": "no running job"}
+            self._info["state"] = "cancelling"
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+        return {"ok": True}
+
+
+def _browse(path_str: str) -> dict:
+    path = Path(path_str or "~").expanduser()
+    if not path.is_dir():
+        path = path.parent
+    if not path.is_dir():
+        return {"error": f"not a directory: {path}"}
+    entries = []
+    try:
+        for p in sorted(path.iterdir()):
+            if p.name.startswith(".") and p.name != "..":
+                continue
+            is_dir = p.is_dir()
+            suffix = p.suffix.lower()
+            entries.append(
+                {
+                    "name": p.name,
+                    "path": str(p),
+                    "dir": is_dir,
+                    # .d directories ARE raw files
+                    "raw": suffix in RAW_SUFFIXES,
+                    "lib": (not is_dir) and suffix in LIB_SUFFIXES,
+                    "fasta": (not is_dir) and suffix in (".fasta", ".fa"),
+                }
+            )
+    except PermissionError:
+        return {"error": f"permission denied: {path}"}
+    return {"path": str(path), "parent": str(path.parent), "entries": entries}
+
+
+def make_handler(jobs: JobManager):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route http noise to logging
+            logger.debug("gui: " + fmt, *args)
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path in ("/", "/index.html"):
+                body = (STATIC_DIR / "index.html").read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/api/schema":
+                self._json(build_schema())
+            elif url.path == "/api/status":
+                self._json(jobs.status())
+            elif url.path == "/api/browse":
+                q = parse_qs(url.query)
+                self._json(_browse(q.get("path", [""])[0]))
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                self._json({"error": "invalid JSON"}, 400)
+                return
+            if self.path == "/api/run":
+                res = jobs.start(payload)
+                self._json(res, 400 if "error" in res else 200)
+            elif self.path == "/api/cancel":
+                res = jobs.cancel()
+                self._json(res, 400 if "error" in res else 200)
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve(port: int = 8855, open_browser: bool = True) -> ThreadingHTTPServer:
+    """Start the GUI server (returns the server; caller owns shutdown)."""
+    jobs = JobManager()
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(jobs))
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/"
+    logger.info(f"alphadia-tpu GUI at {url}")
+    if open_browser:
+        threading.Timer(0.3, lambda: webbrowser.open(url)).start()
+    return httpd
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="alphadia-tpu local GUI")
+    parser.add_argument("--port", type=int, default=8855)
+    parser.add_argument("--no-browser", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    httpd = serve(port=args.port, open_browser=not args.no_browser)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

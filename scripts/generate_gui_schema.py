@@ -1,133 +1,31 @@
-"""Generate the GUI parameter schema from config/default.yaml.
+"""Dump the GUI parameter schema to gui/workflows/PeptideCentric.v1.json.
 
-The reference's Electron GUI is driven by a typed parameter schema
-(gui/workflows/PeptideCentric.v1.json: sections -> parameters with
-id/name/default/description/type) that mirrors its default.yaml. This
-script derives the analogous schema for this engine directly from our
-default.yaml — the preceding comment lines become each parameter's
-description, the YAML value supplies default and type — so the schema can
-never drift from the actual config surface.
+The schema itself is built at runtime by alphadia_tpu.gui.schema (the
+live GUI always reflects the packaged default.yaml); this script just
+materializes a copy for inspection / external tooling.
 
 Run: python scripts/generate_gui_schema.py
-Writes: gui/workflows/PeptideCentric.v1.json
 """
 
 from __future__ import annotations
 
 import json
-import re
 import sys
 from pathlib import Path
 
-import yaml
+sys.path.insert(0, str(Path(__file__).parents[1]))
 
-ROOT = Path(__file__).parents[1]
-DEFAULT_YAML = ROOT / "alphadia_tpu" / "config" / "default.yaml"
-OUT = ROOT / "gui" / "workflows" / "PeptideCentric.v1.json"
+from alphadia_tpu.gui.schema import build_schema  # noqa: E402
 
-# sections surfaced in the GUI (order = display order); others stay CLI-only
-SECTIONS = [
-    ("general", "General"),
-    ("tpu", "TPU Engine"),
-    ("library_prediction", "Library Prediction"),
-    ("search", "Search"),
-    ("calibration", "Calibration"),
-    ("search_initial", "Initial Search Tolerances"),
-    ("fdr", "False Discovery Rate"),
-    ("search_output", "Search Output"),
-    ("multiplexing", "Multiplexing"),
-    ("library_multiplexing", "Library Multiplexing"),
-    ("transfer_library", "Transfer Library"),
-    ("transfer_learning", "Transfer Learning"),
-]
-
-_ADVANCED = {"tpu", "search_initial", "transfer_library", "transfer_learning"}
-
-
-def _type_of(v):
-    if isinstance(v, bool):
-        return "boolean"
-    if isinstance(v, int):
-        return "integer"
-    if isinstance(v, float):
-        return "float"
-    if isinstance(v, list):
-        return "list"
-    if v is None:
-        return "string"
-    return "string"
-
-
-def _title(key: str) -> str:
-    return key.replace("_", " ").title().replace("Tpu", "TPU").replace(
-        "Fdr", "FDR"
-    ).replace("Mz", "m/z").replace("Ms1", "MS1").replace("Ms2", "MS2").replace(
-        "Rt", "RT"
-    )
-
-
-def _parse_comments(yaml_text: str) -> dict[tuple[str, str], str]:
-    """(section, key) -> comment text of the lines directly above the key."""
-    comments: dict[tuple[str, str], str] = {}
-    section = None
-    pending: list[str] = []
-    for line in yaml_text.splitlines():
-        m_sec = re.match(r"^(\w[\w_]*):\s*(#.*)?$", line)
-        m_key = re.match(r"^  (\w[\w_]*):\s*(.+?)\s*(#.*)?$", line)
-        m_com = re.match(r"^\s*#\s?(.*)$", line)
-        if m_sec:
-            section = m_sec.group(1)
-            pending = []
-        elif m_com:
-            pending.append(m_com.group(1))
-        elif m_key and section:
-            if pending:
-                comments[(section, m_key.group(1))] = " ".join(pending)
-            pending = []
-        else:
-            pending = []
-    return comments
+OUT = Path(__file__).parents[1] / "gui" / "workflows" / "PeptideCentric.v1.json"
 
 
 def main() -> None:
-    text = DEFAULT_YAML.read_text()
-    cfg = yaml.safe_load(text)
-    comments = _parse_comments(text)
-
-    config_sections = []
-    for sec_id, sec_name in SECTIONS:
-        params = []
-        for key, val in (cfg.get(sec_id) or {}).items():
-            params.append(
-                {
-                    "id": key,
-                    "name": _title(key),
-                    "default": val,
-                    "description": comments.get((sec_id, key), ""),
-                    "type": _type_of(val),
-                }
-            )
-        config_sections.append(
-            {
-                "id": sec_id,
-                "name": sec_name,
-                "hidden": False,
-                "advanced": sec_id in _ADVANCED,
-                "parameters": params,
-            }
-        )
-
-    schema = {
-        "library": {"active": True, "required": False, "path": ""},
-        "fasta_list": {"active": True, "required": False, "path": []},
-        "raw_path_list": {"active": True, "required": True, "path": []},
-        "output_directory": {"active": True, "required": True, "path": ""},
-        "config": config_sections,
-    }
+    schema = build_schema()
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(schema, indent=1) + "\n")
-    n = sum(len(s["parameters"]) for s in config_sections)
-    print(f"wrote {OUT} ({len(config_sections)} sections, {n} parameters)")
+    n = sum(len(s["parameters"]) for s in schema["config"])
+    print(f"wrote {OUT} ({len(schema['config'])} sections, {n} parameters)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+"""GUI server integration: schema + browse + a real search run over HTTP.
+
+Starts the stdlib server on an ephemeral port in a thread, drives the
+JSON API exactly as the static page does (reference role: the Electron
+GUI's run workflow), and waits for a tiny synthetic search launched as a
+CLI subprocess to finish.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from alphadia_tpu.gui.server import JobManager, make_handler
+from alphadia_tpu.library.speclib import SpecLibFlat
+from alphadia_tpu.rawdata.source import save_npz
+from alphadia_tpu.testing.synthetic import (
+    SyntheticConfig,
+    add_synthetic_decoys,
+    make_synthetic_dia,
+)
+
+
+@pytest.fixture()
+def server():
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(JobManager()))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_schema_and_static_page(server):
+    schema = _get(server + "/api/schema")
+    assert schema["raw_path_list"]["required"]
+    sections = {s["id"] for s in schema["config"]}
+    assert {"general", "search", "fdr", "tpu"} <= sections
+    n_params = sum(len(s["parameters"]) for s in schema["config"])
+    assert n_params > 80
+    with urllib.request.urlopen(server + "/", timeout=10) as r:
+        page = r.read().decode()
+    assert "alphadia-tpu" in page and "/api/run" in page
+
+
+def test_browse(server, tmp_path):
+    (tmp_path / "run.mzML").write_text("x")
+    (tmp_path / "sample.d").mkdir()
+    (tmp_path / "lib.tsv").write_text("x")
+    d = _get(server + f"/api/browse?path={tmp_path}")
+    by_name = {e["name"]: e for e in d["entries"]}
+    assert by_name["run.mzML"]["raw"]
+    assert by_name["sample.d"]["raw"] and by_name["sample.d"]["dir"]
+    assert by_name["lib.tsv"]["lib"]
+
+
+def test_run_validation_errors(server, tmp_path):
+    code, res = _post(server + "/api/run", {"raw_path_list": []})
+    assert code == 400 and "output_directory" in res["error"]
+    code, res = _post(
+        server + "/api/run",
+        {"output_directory": str(tmp_path), "raw_path_list": ["/nope.mzML"]},
+    )
+    assert code == 400 and "not found" in res["error"]
+    code, res = _post(server + "/api/cancel", {})
+    assert code == 400
+
+
+@pytest.mark.slow
+def test_run_search_through_gui(server, tmp_path, monkeypatch):
+    # the GUI subprocess inherits our env; force it onto CPU like the
+    # rest of the test suite
+    monkeypatch.setenv("ALPHADIA_TPU_PLATFORM", "cpu")
+    spectra, prec, frag = make_synthetic_dia(
+        SyntheticConfig(n_peptides=150, n_windows=4, n_cycles=200, seed=11)
+    )
+    prec, frag = add_synthetic_decoys(prec, frag)
+    raw = tmp_path / "run.npz"
+    save_npz(raw, spectra)
+    lib = tmp_path / "lib.hdf"
+    SpecLibFlat(prec, frag).save_hdf(lib)
+    out = tmp_path / "out"
+
+    payload = {
+        "raw_path_list": [str(raw)],
+        "library": str(lib),
+        "output_directory": str(out),
+        "config": {
+            "general": {"random_state": 3, "save_figures": False,
+                        "input_library_type": "flat"},
+            "calibration": {"batch_size": 150, "optimization_lock_target": 50,
+                            "min_steps": 2, "max_steps": 4},
+            "tpu": {"selection_batch": 256, "scoring_batch": 256},
+        },
+    }
+    code, res = _post(server + "/api/run", payload)
+    assert code == 200 and res.get("ok"), res
+    # double-start is rejected while running
+    code, res2 = _post(server + "/api/run", payload)
+    assert code == 400 and "already running" in res2["error"]
+
+    deadline = time.time() + 600
+    state = None
+    while time.time() < deadline:
+        st = _get(server + "/api/status")
+        state = st["state"]
+        if state in ("done", "failed", "cancelled"):
+            break
+        time.sleep(2)
+    assert state == "done", f"state={state} log={st.get('log_tail', '')[-2000:]}"
+    assert "precursors.parquet" in st.get("results", {})
+    assert (out / "precursors.parquet").exists()

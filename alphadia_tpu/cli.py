@@ -41,6 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="JSON config override (repeatable)",
     )
     p.add_argument("--quant-dir", help="shared quant directory (distributed search)")
+    p.add_argument(
+        "--profile-dir",
+        help="write a jax/XLA profiler trace per raw file into this directory",
+    )
     return p
 
 
@@ -67,6 +71,8 @@ def _get_cli_config(args, config: dict) -> dict:
         cli["fasta_paths"] = list(args.fasta)
     if args.quant_dir:
         cli["quant_directory"] = args.quant_dir
+    if args.profile_dir:
+        _deep_merge(cli, {"general": {"profile_directory": args.profile_dir}})
     return cli
 
 

@@ -226,9 +226,15 @@ class SearchStep:
             quant_path=str(quant_dir),
             random_state=per_file_seed,
         )
-        workflow.load(raw_path, self.spectral_library.copy())
-        workflow.search_parameter_optimization()
-        psm_df, frag_df = workflow.extraction()
+        profile_dir = self.config["general"].get("profile_directory")
+        from alphadia_tpu.utils.profiling import profile_trace
+
+        with profile_trace(
+            str(Path(profile_dir) / raw_name) if profile_dir else None
+        ):
+            workflow.load(raw_path, self.spectral_library.copy())
+            workflow.search_parameter_optimization()
+            psm_df, frag_df = workflow.extraction()
 
         psm_df.to_parquet(workflow.path / SearchStepFiles.PSM_FILE_NAME, index=False)
         frag_df.to_parquet(workflow.path / SearchStepFiles.FRAG_FILE_NAME, index=False)

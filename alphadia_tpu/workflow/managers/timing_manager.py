@@ -37,16 +37,23 @@ class TimingManager(BaseManager):
 
 
 def use_timing_manager(phase: str):
-    """Decorator timing a workflow method into self.timing_manager."""
+    """Decorator timing a workflow method into self.timing_manager.
+
+    Also annotates the span in an active jax profiler trace so the
+    device timeline and stat.tsv phase durations line up (SURVEY §5).
+    """
 
     def deco(fn):
         @wraps(fn)
         def wrapper(self, *args, **kwargs):
+            from alphadia_tpu.utils.profiling import annotate
+
             tm = getattr(self, "timing_manager", None)
             if tm is not None:
                 tm.set_start_time(phase)
             try:
-                return fn(self, *args, **kwargs)
+                with annotate(f"alphadia_tpu.{phase}"):
+                    return fn(self, *args, **kwargs)
             finally:
                 if tm is not None:
                     tm.set_end_time(phase)

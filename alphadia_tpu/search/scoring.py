@@ -118,6 +118,10 @@ class ScoringConfig:
     quant_all: bool = True
     experimental_xic: bool = True
     collect_fragments: bool = True
+    # emit every library fragment slot (zeros for unobserved) instead of
+    # only kernel-matched ones — transfer learning trains on the complete
+    # intensity vector (reference requantify_fragments contract)
+    collect_unobserved_fragments: bool = False
     batch_size: int = 16384
     gather_slab: int = 256
     max_ms2_obs: int = 2
@@ -149,6 +153,7 @@ class CandidateScoring:
         self.rt_column = rt_column
         self.precursor_mz_column = precursor_mz_column
         self.fragment_mz_column = fragment_mz_column
+        self._residue_counts: dict | None = None
 
     # ------------------------------------------------------------------
     def _candidate_arrays(self, cand: pd.DataFrame):
@@ -349,9 +354,19 @@ class CandidateScoring:
         valid_rows = []
         frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity", "scan_com")}
 
-        # upload all per-candidate arrays once (padded to a batch multiple);
-        # batches are device-side slices — no per-batch host->device copies
-        n_padded = ((n + Bsz - 1) // Bsz) * Bsz
+        # non-mesh path: greedy pow2 schedule (fewer dispatches for the
+        # bulk, halving batches toward the tail to bound padded rows)
+        from alphadia_tpu.utils.device import batch_schedule
+
+        if mesh is None:
+            schedule = batch_schedule(n, cap)
+        else:
+            schedule = [(b0, Bsz) for b0 in range(0, n, Bsz)]
+
+        # upload all per-candidate arrays once (padded to cover the last
+        # batch); batches are device-side slices — no per-batch
+        # host->device copies
+        n_padded = max(b0 + bsz for b0, bsz in schedule)
         import jax as _jax
 
         _BATCH_KEYS = (
@@ -379,9 +394,9 @@ class CandidateScoring:
         ftol = np.float32(cfg.fragment_mz_tolerance)
         ptol = np.float32(cfg.precursor_mz_tolerance)
         pending = []  # device results collected after all batches are submitted
-        for b0 in range(0, n, Bsz):
-            b1 = min(b0 + Bsz, n)
-            pad = Bsz - (b1 - b0)
+        for b0, bsz in schedule:
+            b1 = min(b0 + bsz, n)
+            pad = bsz - (b1 - b0)
 
             if mesh is None:
                 # single dispatch per batch: slice-on-device inside the jit;
@@ -399,10 +414,10 @@ class CandidateScoring:
                     batch_dev["frame_center"], batch_dev["frame_start"],
                     batch_dev["frame_stop"], batch_dev["scan_lo"],
                     batch_dev["scan_hi"], batch_dev["mobility_width"],
-                    np.int32(b0), ftol, ptol, bsz=Bsz, pack_output=True,
+                    np.int32(b0), ftol, ptol, bsz=bsz, pack_output=True,
                     **static_kw,
                 )
-                pending.append((Bsz - pad, b0, packed))
+                pending.append((bsz - pad, b0, packed))
                 continue
 
             def _pad(key):
@@ -441,7 +456,7 @@ class CandidateScoring:
                 ptol,
                 **static_kw,
             )
-            pending.append((Bsz - pad, b0, packed))
+            pending.append((bsz - pad, b0, packed))
 
         KF = cfg.top_k_fragments
         for take, b0, packed in pending:
@@ -465,67 +480,94 @@ class CandidateScoring:
         valid = np.concatenate(valid_rows)
         frag_out = {k: np.concatenate(v) for k, v in frag_out_rows.items()}
 
-        psm_df = pd.DataFrame(features, columns=FEATURE_COLUMNS)
+        # build all columns as numpy first and construct the frame ONCE
+        # (incremental pandas inserts cost a block-manager reallocation
+        # each — profiled at ~0.08 s/run on the hot path)
+        data: dict = {
+            name: features[:, j] for j, name in enumerate(FEATURE_COLUMNS)
+        }
         # raw per-quad-window fragment sums + window bounds: the training
         # data for per-run quadrupole fitting (search/quadrupole.py)
         for o in range(frag_out["obs_intensity"].shape[1]):
-            psm_df[f"obs_intensity_{o}"] = frag_out["obs_intensity"][:, o]
-            psm_df[f"obs_win_lo_{o}"] = arrays["win_lo"][:, o]
-            psm_df[f"obs_win_hi_{o}"] = arrays["win_hi"][:, o]
+            data[f"obs_intensity_{o}"] = frag_out["obs_intensity"][:, o]
+            data[f"obs_win_lo_{o}"] = arrays["win_lo"][:, o]
+            data[f"obs_win_hi_{o}"] = arrays["win_hi"][:, o]
         if self.dia.has_mobility and self.dia.n_scan_bins > 1:
             # kernel scan center of mass (bin units) -> mobility values;
             # mobility_fwhm (feature 39) is already computed in-kernel
             S = self.dia.n_scan_bins
             span = self.dia.mobility_max - self.dia.mobility_min
             com = frag_out["scan_com"]
-            psm_df["mobility_observed"] = np.where(
+            data["mobility_observed"] = np.where(
                 com > 0, self.dia.mobility_min + com / S * span, 0.0
             ).astype(np.float32)
             # base_width_mobility (feature 0): candidate scan extent
             # (reference location_features.py:19-22)
-            psm_df["base_width_mobility"] = arrays["mobility_width"]
-        psm_df["precursor_idx"] = cand["precursor_idx"].to_numpy()
-        psm_df["rank"] = cand["rank"].to_numpy()
-        psm_df["score"] = cand["score"].to_numpy() if "score" in cand.columns else 0.0
+            data["base_width_mobility"] = arrays["mobility_width"]
+        data["precursor_idx"] = cand["precursor_idx"].to_numpy()
+        data["rank"] = cand["rank"].to_numpy()
+        data["score"] = (
+            cand["score"].to_numpy()
+            if "score" in cand.columns
+            else np.zeros(len(cand), np.float32)
+        )
         for col in ("scan_center", "scan_start", "scan_stop", "frame_center", "frame_start", "frame_stop"):
             if col in cand.columns:
-                psm_df[col] = cand[col].to_numpy()
+                data[col] = cand[col].to_numpy()
 
         # merge precursor metadata
         prec = self.precursor_df
         carry = [c for c in PRECURSOR_CARRY_COLUMNS if c in prec.columns]
         rows = arrays["rows"]
         for c in carry:
-            psm_df[c] = prec[c].to_numpy()[rows]
+            data[c] = prec[c].to_numpy()[rows]
 
         rt_ref = prec[self.rt_column].to_numpy(np.float32)[rows]
-        psm_df["delta_rt"] = psm_df["rt_observed"] - rt_ref
-        if "sequence" in psm_df.columns:
-            seqs = psm_df["sequence"].astype(str)
-            psm_df["n_K"] = seqs.str.count("K").astype(np.float32)
-            psm_df["n_R"] = seqs.str.count("R").astype(np.float32)
-            psm_df["n_P"] = seqs.str.count("P").astype(np.float32)
+        data["delta_rt"] = data["rt_observed"] - rt_ref
+        if "sequence" in prec.columns:
+            # residue counts are per-precursor constants: computed once per
+            # scoring instance, indexed per candidate
+            if self._residue_counts is None:
+                seqs = prec["sequence"].astype(str)
+                self._residue_counts = {
+                    aa: seqs.str.count(aa).to_numpy(np.float32)
+                    for aa in ("K", "R", "P")
+                }
+            for aa, counts in self._residue_counts.items():
+                data[f"n_{aa}"] = counts[rows]
 
+        psm_df = pd.DataFrame(data)
         psm_df = psm_df[valid].reset_index(drop=True)
 
         # fragment output frame
         fragment_df = _empty_fragment_df()
         if cfg.collect_fragments:
             keep_rows = np.nonzero(valid)[0]
-            fv = (frag_out["valid"] & arrays["frag_valid"])[keep_rows]
+            obs_mask = frag_out["valid"] & arrays["frag_valid"]
+            fv = (
+                arrays["frag_valid"]
+                if cfg.collect_unobserved_fragments
+                else obs_mask
+            )[keep_rows]
             rr, cc = np.nonzero(fv)
             sel = (keep_rows[rr], cc)
+            obs_sel = obs_mask[sel]
+
+            def observed(a):
+                # unobserved slots carry kernel padding values — zero them
+                return np.where(obs_sel, a[sel], 0.0).astype(np.float32)
+
             fragment_df = pd.DataFrame(
                 {
                     "precursor_idx": cand["precursor_idx"].to_numpy()[keep_rows][rr],
                     "rank": cand["rank"].to_numpy()[keep_rows][rr],
                     "mz_library": arrays["frag_mz_library"][sel],
                     "mz": arrays["frag_mz"][sel],
-                    "mz_observed": frag_out["mz_observed"][sel],
-                    "height": frag_out["height"][sel],
-                    "intensity": frag_out["intensity"][sel],
-                    "mass_error": frag_out["mass_error"][sel],
-                    "correlation": frag_out["correlation"][sel],
+                    "mz_observed": observed(frag_out["mz_observed"]),
+                    "height": observed(frag_out["height"]),
+                    "intensity": observed(frag_out["intensity"]),
+                    "mass_error": observed(frag_out["mass_error"]),
+                    "correlation": observed(frag_out["correlation"]),
                     "position": arrays["frag_position"][sel].astype(np.uint8),
                     "number": arrays["frag_number"][sel].astype(np.uint8),
                     "type": arrays["frag_type"][sel].astype(np.uint8),

@@ -262,11 +262,20 @@ class CandidateSelection:
         out_frames = []
         precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
 
-        # pad the full prepared arrays to a batch multiple and upload ONCE;
-        # per-batch inputs are then device-side slices (no host->device
-        # transfer or host concat inside the batch loop — on the remote
-        # tunnel each small upload costs ~dispatch latency)
-        n_padded = ((n + Bsz - 1) // Bsz) * Bsz
+        # non-mesh path: greedy pow2 schedule (fewer dispatches for the
+        # bulk, halving batches toward the tail to bound padded rows)
+        from alphadia_tpu.utils.device import batch_schedule
+
+        if mesh is None:
+            schedule = batch_schedule(n, cfg.batch_size)
+        else:
+            schedule = [(b0, Bsz) for b0 in range(0, n, Bsz)]
+
+        # pad the full prepared arrays to cover the last batch and upload
+        # ONCE; per-batch inputs are then device-side slices (no
+        # host->device transfer or host concat inside the batch loop — on
+        # the remote tunnel each small upload costs ~dispatch latency)
+        n_padded = max(b0 + bsz for b0, bsz in schedule) if schedule else Bsz
         import jax as _jax
 
         def _full(a, zero_tail=False):
@@ -295,10 +304,10 @@ class CandidateSelection:
 
         ftol = np.float32(cfg.fragment_mz_tolerance)
         ptol = np.float32(cfg.precursor_mz_tolerance)
-        pending = []  # (b0, pad, device results) — collect after all submits
-        for b0 in range(0, n, Bsz):
-            b1 = min(b0 + Bsz, n)
-            pad = Bsz - (b1 - b0)
+        pending = []  # (b0, bsz, pad, device results) — collect after all submits
+        for b0, bsz in schedule:
+            b1 = min(b0 + bsz, n)
+            pad = bsz - (b1 - b0)
 
             if mesh is None:
                 # single dispatch per batch: slice-on-device inside the jit
@@ -311,7 +320,7 @@ class CandidateSelection:
                         batch_dev["iso_slot"], batch_dev["iso_mz"],
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
-                        bi, kernel, ftol, ptol, bsz=Bsz, pack_output=True,
+                        bi, kernel, ftol, ptol, bsz=bsz, pack_output=True,
                         **static_kw,
                     )
                 else:
@@ -322,10 +331,10 @@ class CandidateSelection:
                         batch_dev["iso_slot"], batch_dev["iso_mz"],
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
-                        bi, kernel, ftol, ptol, bsz=Bsz, pack_output=True,
+                        bi, kernel, ftol, ptol, bsz=bsz, pack_output=True,
                         **static_kw,
                     )
-                pending.append((b0, pad, result))
+                pending.append((b0, bsz, pad, result))
                 continue
 
             def _pad(a):
@@ -369,7 +378,7 @@ class CandidateSelection:
                     nvf,
                     **static_kw,
                 )
-            pending.append((b0, pad, result))
+            pending.append((b0, bsz, pad, result))
 
         K = cfg.candidate_count
         unpack_spec = {
@@ -382,7 +391,7 @@ class CandidateSelection:
                 scan_center=("int32", K), scan_start=("int32", K),
                 scan_stop=("int32", K),
             )
-        for b0, pad, result in pending:
+        for b0, bsz, pad, result in pending:
             if isinstance(result, dict):  # mesh path (unpacked)
                 result = {k: np.asarray(v) for k, v in result.items()}
             else:  # packed single-download buffer
@@ -391,7 +400,7 @@ class CandidateSelection:
                 result = unpack_u32(np.asarray(result), unpack_spec)
             valid = result["valid"].copy()
             if pad:
-                valid[Bsz - pad :] = False
+                valid[bsz - pad :] = False
             rows, cands = np.nonzero(valid)
             if "scan_center" in result:
                 scan_start = result["scan_start"][rows, cands].astype(np.int64)

@@ -52,6 +52,29 @@ def effective_batch(configured: int, n: int, floor: int = 256) -> int:
     return min(b, configured)
 
 
+def batch_schedule(n: int, cap: int, floor: int = 256) -> list[tuple[int, int]]:
+    """Greedy power-of-two batch decomposition: ``[(start, batch_size)...]``.
+
+    Large batches amortize the tunnel's per-dispatch latency; the batch
+    size halves toward the tail whenever the remainder would pad more
+    than 25% of a batch (padded rows are computed AND downloaded for
+    nothing). At most log2(cap/floor)+1 distinct static shapes compile,
+    and the final pad is < max(floor, bsz/4) rows.
+    """
+    if n <= 0:
+        return []
+    bsz = effective_batch(cap, n, floor)
+    out = []
+    b0 = 0
+    while b0 < n:
+        rem = n - b0
+        while bsz > floor and rem < (3 * bsz) // 4:
+            bsz //= 2
+        out.append((b0, bsz))
+        b0 += min(bsz, rem)
+    return out
+
+
 def bucket_window(n: int) -> int:
     """Round a window length up to the bucket grid (caps recompiles)."""
     for b in WINDOW_BUCKETS:

@@ -85,6 +85,7 @@ class TransferRequantHandler:
                 top_k_fragments=top_k,
                 exclude_shared_ions=False,
                 collect_fragments=True,
+                collect_unobserved_fragments=True,
                 batch_size=self._config["tpu"]["scoring_batch"],
             ),
             rt_column="rt_library",

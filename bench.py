@@ -61,7 +61,7 @@ def _run_pipeline(dia, prec, frag, rt_tol=60.0, batch_size=4096):
     return psm
 
 
-def measure(n_peptides=6000, n_cycles=600, batch_size=4096):
+def measure(n_peptides=6000, n_cycles=600, batch_size=None):
     """Steady-state precursors/second plus a per-phase wall-clock profile.
 
     Returns (rate, phases) where phases maps phase name -> seconds per run.
@@ -90,18 +90,24 @@ def measure(n_peptides=6000, n_cycles=600, batch_size=4096):
     # mass errors f32); CPU keeps f32 (its fastest path)
     cdt = "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
+    # batch caps: the drivers split these into a greedy pow2 schedule
+    # (round-1 sweep: scoring 16384 and selection 8192 were the best
+    # fixed sizes on the tunnel; the schedule bounds tail padding)
+    sel_batch = batch_size or 8192
+    score_batch = batch_size or 16384
+
     def run_once(p, phases=None):
         t0 = time.time()
         sel = CandidateSelection(
             dia, p, frag,
-            SelectionConfig(rt_tolerance=60.0, candidate_count=3, batch_size=batch_size),
+            SelectionConfig(rt_tolerance=60.0, candidate_count=3, batch_size=sel_batch),
         )
         cands = sel()
         t1 = time.time()
         score = CandidateScoring(
             dia, p, frag,
             ScoringConfig(
-                batch_size=batch_size, collect_fragments=True, compute_dtype=cdt
+                batch_size=score_batch, collect_fragments=True, compute_dtype=cdt
             ),
         )
         psm, _ = score(cands)

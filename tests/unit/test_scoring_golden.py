@@ -328,6 +328,12 @@ for k in (
 ):
     _TOL[k] = 0.2  # ppm: f32 m/z quantization wobble ~0.07 ppm at 450 Th
 _TOL["mz_observed"] = 1e-3
+# raw MS1 intensity sums travel bf16 in the packed transport (8-bit
+# mantissa -> 1/256 rounding; ops/scoring.py _BF16_FEATURES)
+from alphadia_tpu.ops.scoring import _BF16_FEATURES  # noqa: E402
+
+for i in _BF16_FEATURES:
+    _TOL[FEATURE_COLUMNS[i]] = max(_TOL[FEATURE_COLUMNS[i]], 1 / 128)
 
 
 @pytest.mark.parametrize("name", FEATURE_COLUMNS)

@@ -165,6 +165,8 @@ def test_base_width_mobility_golden(scored_4d):
 
 def test_frame_features_survive_4d(scored_4d):
     # scan-split peaks must not distort the collapsed frame features
-    assert scored_4d["f_masked"] == pytest.approx(2 / 3, abs=1e-6)
+    # f_masked travels f16 in the packed transport (~5e-4 relative)
+    assert scored_4d["f_masked"] == pytest.approx(2 / 3, abs=1e-3)
+    # rt_observed is in the f32 transport class: stays exact
     assert scored_4d["rt_observed"] == pytest.approx(8.0, abs=1e-5)
     assert scored_4d["n_y_ions"] == 1.0 and scored_4d["n_b_ions"] == 1.0

@@ -64,6 +64,13 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
             f32p, f32p, u8p, i64p,
         ]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.peakstore_scatter_sb.restype = None
+        lib.peakstore_scatter_sb.argtypes = [
+            f32p, f32p, i32p, i64p, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64,
+            f32p, f32p, u8p, i32p, i64p,
+        ]
         _lib = lib
         return _lib
     except Exception as e:
@@ -82,9 +89,14 @@ def build_peak_store_native(
     bin_width: float,
     n_bins: int,
     ghost: float,
+    scanbin: np.ndarray | None = None,
 ):
-    """C++ peak-store build. Returns (mz, intensity, is_ghost, cell_start)
-    or None when the native library is unavailable."""
+    """C++ peak-store build.
+
+    Returns ``(mz, intensity, is_ghost, cell_start, scanbin)`` — scanbin
+    is None for 3D data (no per-peak mobility) — or None when the native
+    library is unavailable.
+    """
     lib = get_lib()
     if lib is None:
         return None
@@ -106,8 +118,16 @@ def build_peak_store_native(
     out_int = np.empty(total, np.float32)
     out_ghost = np.empty(total, np.uint8)
     cell_off = np.zeros(n_cells + 1, np.int64)
+    if scanbin is not None:
+        out_sb = np.empty(total, np.int32)
+        lib.peakstore_scatter_sb(
+            mz, inten, np.ascontiguousarray(scanbin, np.int32),
+            keys[:total], src[:total], ghost_flags[:total],
+            total, n_cells, out_mz, out_int, out_ghost, out_sb, cell_off,
+        )
+        return out_mz, out_int, out_ghost.astype(bool), cell_off, out_sb
     lib.peakstore_scatter(
         mz, inten, keys[:total], src[:total], ghost_flags[:total],
         total, n_cells, out_mz, out_int, out_ghost, cell_off,
     )
-    return out_mz, out_int, out_ghost.astype(bool), cell_off
+    return out_mz, out_int, out_ghost.astype(bool), cell_off, None

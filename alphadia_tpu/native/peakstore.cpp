@@ -109,6 +109,30 @@ void peakstore_scatter(
     }
 }
 
-int32_t peakstore_version() { return 1; }
+// Phase 2 (4D variant): also scatters the per-peak mobility scan bin so
+// the timsTOF path uses the same native builder (reference role: the
+// Bruker transpose, bruker.py:156-274, which carries the scan dimension).
+void peakstore_scatter_sb(
+    const float* mz, const float* intensity, const int32_t* scanbin,
+    const int64_t* keys, const int64_t* src_index, const uint8_t* is_ghost,
+    int64_t n_total, int64_t n_cells,
+    float* out_mz, float* out_int, uint8_t* out_ghost, int32_t* out_scanbin,
+    int64_t* cell_off  // workspace+output: n_cells+1, zero-initialized
+) {
+    for (int64_t i = 0; i < n_total; ++i) cell_off[keys[i] + 1]++;
+    for (int64_t c = 0; c < n_cells; ++c) cell_off[c + 1] += cell_off[c];
+
+    std::vector<int64_t> cursor(cell_off, cell_off + n_cells);
+    for (int64_t i = 0; i < n_total; ++i) {
+        int64_t pos = cursor[keys[i]]++;
+        int64_t src = src_index[i];
+        out_mz[pos] = mz[src];
+        out_int[pos] = intensity[src];
+        out_ghost[pos] = is_ghost[i];
+        out_scanbin[pos] = scanbin[src];
+    }
+}
+
+int32_t peakstore_version() { return 2; }
 
 }  // extern "C"

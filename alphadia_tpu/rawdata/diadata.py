@@ -81,6 +81,7 @@ class DiaData:
         coarse_bin_width: float = 1.0,
         astral_ms1: bool = False,
         n_scan_bins: int = 8,
+        use_native: bool = True,
     ) -> "DiaData":
         """Cycle-align and tensorize a raw file.
 
@@ -141,8 +142,7 @@ class DiaData:
             quad_min_mz=quad_min,
             quad_max_mz=quad_max,
             coarse_bin_width=coarse_bin_width,
-            # the native builder does not thread the mobility column yet
-            use_native=not has_mobility,
+            use_native=use_native,
         )
         obj._build_peak_store(spectra)
         return obj
@@ -166,7 +166,9 @@ class DiaData:
         self.bin_mz_min = float(np.floor(self.mz_min / bin_w) * bin_w)
         n_bins = max(1, int(np.ceil((self.mz_max + bin_w - self.bin_mz_min) / bin_w)))
 
-        # native (C++) fast path: counting sort + ghost duplication
+        # native (C++) fast path: counting sort + ghost duplication; the
+        # 4D (timsTOF) path threads the per-peak mobility scan bin through
+        # the same builder (peakstore_scatter_sb)
         if self.use_native:
             from alphadia_tpu.native import build_peak_store_native
 
@@ -175,12 +177,24 @@ class DiaData:
                 (spectra.peak_stop_idx - spectra.peak_start_idx).astype(np.int64),
                 out=spec_start[1:],
             )
+            sb_src = None
+            if self.has_mobility:
+                S = self.n_scan_bins
+                span = max(self.mobility_max - self.mobility_min, 1e-9)
+                sb_src = np.clip(
+                    ((spectra.mobility - self.mobility_min) / span * S).astype(
+                        np.int32
+                    ),
+                    0,
+                    S - 1,
+                )
             native = build_peak_store_native(
                 spectra.mz, spectra.intensity, spec_start,
                 n_slots, n_cycles, self.bin_mz_min, bin_w, n_bins, self.ghost_width,
+                scanbin=sb_src,
             )
             if native is not None:
-                out_mz, out_int, out_ghost, cell_off = native
+                out_mz, out_int, out_ghost, cell_off, out_sb = native
                 rows = cell_off[:-1].reshape(n_slots * n_bins, n_cycles)
                 row_ends = np.append(rows[1:, 0], cell_off[-1])
                 self.cell_start = (
@@ -194,7 +208,11 @@ class DiaData:
                 )
                 self.peak_intensity = np.concatenate([out_int, np.zeros(pad, np.float32)])
                 self.peak_is_ghost = np.concatenate([out_ghost, np.zeros(pad, bool)])
-                self.peak_scanbin = np.zeros(len(self.peak_mz), np.int32)
+                self.peak_scanbin = (
+                    np.concatenate([out_sb, np.zeros(pad, np.int32)])
+                    if out_sb is not None
+                    else np.zeros(len(self.peak_mz), np.int32)
+                )
                 self._n_canonical = len(spectra.mz)
                 self.n_bins = n_bins
                 return

@@ -155,12 +155,21 @@ def _roofline(n_candidates: int, scoring_seconds: float) -> dict:
     flops = n_candidates * (60 * KF * O2 * W + KF * KF * W * 3)
     gather_bytes = n_candidates * (KF * O2 + KI) * SLAB * 8
     dense_bytes = n_candidates * KF * O2 * W * 4 * 8  # ~8 materialized passes
+    # packed result transport: ~105 u16 columns per candidate
+    # (ops/scoring.py pack_scoring_output layout)
+    download_bytes = n_candidates * 105 * 2
     t = max(scoring_seconds, 1e-9)
     return {
         "mfu": round(flops / t / _PEAK_FLOPS_F32, 5),
         "hbm_util": round((gather_bytes + dense_bytes) / t / _PEAK_HBM_BPS, 4),
         "gflops_per_s": round(flops / t / 1e9, 1),
         "hbm_gb_per_s": round((gather_bytes + dense_bytes) / t / 1e9, 1),
+        # on the relay/tunnel backend the phase is transfer-bound: the
+        # packed result download runs at the tunnel's ~28 MB/s ceiling
+        # (measured; concurrent fetches do not multiplex). On directly
+        # attached TPU hardware this term vanishes.
+        "download_mb": round(download_bytes / 1e6, 1),
+        "download_mb_per_s": round(download_bytes / t / 1e6, 1),
     }
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import secrets
 import signal
 import subprocess
 import sys
@@ -105,8 +106,14 @@ class JobManager:
                     self._info = dict(info)
         log_path = info.get("log_path")
         if log_path and Path(log_path).exists():
-            data = Path(log_path).read_bytes()
-            info["log_tail"] = data[-16384:].decode("utf-8", errors="replace")
+            # the front-end polls this every ~2 s: read only the tail,
+            # never the whole (potentially huge) log
+            with open(log_path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                f.seek(max(0, size - 16384))
+                data = f.read()
+            info["log_tail"] = data.decode("utf-8", errors="replace")
         out = info.get("output_directory")
         if info.get("state") == "done" and out:
             results = {}
@@ -159,7 +166,18 @@ def _browse(path_str: str) -> dict:
     return {"path": str(path), "parent": str(path.parent), "entries": entries}
 
 
-def make_handler(jobs: JobManager):
+def make_handler(jobs: JobManager, token: str):
+    """Request handler bound to one JobManager and one auth token.
+
+    Defenses (the server binds to 127.0.0.1, but local ports are still
+    reachable by any page the user's browser visits):
+      - every /api request must carry ``X-Auth-Token`` — a custom header
+        forces a CORS preflight, which the server never answers, so
+        cross-origin pages cannot call the API (CSRF);
+      - the Host header must be a loopback name, so a DNS-rebinding page
+        (attacker domain re-resolving to 127.0.0.1) is refused outright.
+    """
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route http noise to logging
             logger.debug("gui: " + fmt, *args)
@@ -172,8 +190,26 @@ def make_handler(jobs: JobManager):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reject_bad_origin(self) -> bool:
+            host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+            if host not in ("127.0.0.1", "localhost", "[::1]", "::1"):
+                self._json({"error": "forbidden host"}, 403)
+                return True
+            return False
+
+        def _reject_bad_token(self) -> bool:
+            sent = self.headers.get("X-Auth-Token") or ""
+            if not secrets.compare_digest(sent, token):
+                self._json({"error": "missing or invalid auth token"}, 403)
+                return True
+            return False
+
         def do_GET(self):
+            if self._reject_bad_origin():
+                return
             url = urlparse(self.path)
+            if url.path.startswith("/api/") and self._reject_bad_token():
+                return
             if url.path in ("/", "/index.html"):
                 body = (STATIC_DIR / "index.html").read_bytes()
                 self.send_response(200)
@@ -192,6 +228,8 @@ def make_handler(jobs: JobManager):
                 self._json({"error": "not found"}, 404)
 
         def do_POST(self):
+            if self._reject_bad_origin() or self._reject_bad_token():
+                return
             n = int(self.headers.get("Content-Length") or 0)
             try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
@@ -211,10 +249,17 @@ def make_handler(jobs: JobManager):
 
 
 def serve(port: int = 8855, open_browser: bool = True) -> ThreadingHTTPServer:
-    """Start the GUI server (returns the server; caller owns shutdown)."""
+    """Start the GUI server (returns the server; caller owns shutdown).
+
+    The per-session auth token is embedded in the launch URL fragment;
+    the page stores it and sends it as ``X-Auth-Token`` on every API
+    call. The server exposes it as ``httpd.auth_token`` for tests.
+    """
     jobs = JobManager()
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(jobs))
-    url = f"http://127.0.0.1:{httpd.server_address[1]}/"
+    token = secrets.token_urlsafe(16)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(jobs, token))
+    httpd.auth_token = token
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/#token={token}"
     logger.info(f"alphadia-tpu GUI at {url}")
     if open_browser:
         threading.Timer(0.3, lambda: webbrowser.open(url)).start()

@@ -84,13 +84,14 @@ int64_t peakstore_count(
     return cursor.load();
 }
 
-// Phase 2: counting sort by cell key -> sorted peak arrays + cell index.
-// cell_start has n_cells+1 entries (n_cells = n_slots*n_bins*n_cycles).
-void peakstore_scatter(
-    const float* mz, const float* intensity,
+// Phase 2 core: counting sort by cell key -> sorted peak arrays + cell
+// index. scanbin/out_scanbin are nullable (the 3D path passes nullptr;
+// the 4D timsTOF path carries the mobility scan bin through the sort).
+static void scatter_impl(
+    const float* mz, const float* intensity, const int32_t* scanbin,
     const int64_t* keys, const int64_t* src_index, const uint8_t* is_ghost,
     int64_t n_total, int64_t n_cells,
-    float* out_mz, float* out_int, uint8_t* out_ghost,
+    float* out_mz, float* out_int, uint8_t* out_ghost, int32_t* out_scanbin,
     int64_t* cell_off  // workspace+output: n_cells+1, zero-initialized
 ) {
     for (int64_t i = 0; i < n_total; ++i) cell_off[keys[i] + 1]++;
@@ -106,7 +107,21 @@ void peakstore_scatter(
         out_mz[pos] = mz[src];
         out_int[pos] = intensity[src];
         out_ghost[pos] = is_ghost[i];
+        if (scanbin) out_scanbin[pos] = scanbin[src];
     }
+}
+
+// Phase 2: counting sort by cell key -> sorted peak arrays + cell index.
+// cell_start has n_cells+1 entries (n_cells = n_slots*n_bins*n_cycles).
+void peakstore_scatter(
+    const float* mz, const float* intensity,
+    const int64_t* keys, const int64_t* src_index, const uint8_t* is_ghost,
+    int64_t n_total, int64_t n_cells,
+    float* out_mz, float* out_int, uint8_t* out_ghost,
+    int64_t* cell_off
+) {
+    scatter_impl(mz, intensity, nullptr, keys, src_index, is_ghost, n_total,
+                 n_cells, out_mz, out_int, out_ghost, nullptr, cell_off);
 }
 
 // Phase 2 (4D variant): also scatters the per-peak mobility scan bin so
@@ -117,20 +132,10 @@ void peakstore_scatter_sb(
     const int64_t* keys, const int64_t* src_index, const uint8_t* is_ghost,
     int64_t n_total, int64_t n_cells,
     float* out_mz, float* out_int, uint8_t* out_ghost, int32_t* out_scanbin,
-    int64_t* cell_off  // workspace+output: n_cells+1, zero-initialized
+    int64_t* cell_off
 ) {
-    for (int64_t i = 0; i < n_total; ++i) cell_off[keys[i] + 1]++;
-    for (int64_t c = 0; c < n_cells; ++c) cell_off[c + 1] += cell_off[c];
-
-    std::vector<int64_t> cursor(cell_off, cell_off + n_cells);
-    for (int64_t i = 0; i < n_total; ++i) {
-        int64_t pos = cursor[keys[i]]++;
-        int64_t src = src_index[i];
-        out_mz[pos] = mz[src];
-        out_int[pos] = intensity[src];
-        out_ghost[pos] = is_ghost[i];
-        out_scanbin[pos] = scanbin[src];
-    }
+    scatter_impl(mz, intensity, scanbin, keys, src_index, is_ghost, n_total,
+                 n_cells, out_mz, out_int, out_ghost, out_scanbin, cell_off);
 }
 
 int32_t peakstore_version() { return 2; }

@@ -215,21 +215,30 @@ def read_bruker_d(path: str | Path) -> SpectrumData:
     finally:
         con.close()
 
+    import mmap
+
     tof2mz = TofMzConverter(mz_min, mz_max, tof_max)
     scan2im = ScanImConverter(im_min, im_max, scan_max)
     dctx = zstandard.ZstdDecompressor()
-    bin_bytes = memoryview(tdf_bin.read_bytes())
+    # real runs have multi-GB tdf_bin files: mmap pages frames on demand
+    # instead of loading the whole file into RAM
+    with open(tdf_bin, "rb") as bin_file:
+        mm = mmap.mmap(bin_file.fileno(), 0, access=mmap.ACCESS_READ)
+    bin_bytes = memoryview(mm)
 
     rts, levels, iso_lo, iso_hi = [], [], [], []
     mz_parts, int_parts, mob_parts, counts = [], [], [], []
-    n_skipped_pasef = 0
+    n_skipped: dict[str, int] = {}
 
     for frame_id, time_s, msms_type, tims_id, _n_scans, n_peaks in frames:
         msms_type = int(msms_type)
-        if msms_type == MSMS_TYPE_PASEF:
-            n_skipped_pasef += 1
-            continue
-        if msms_type not in (MSMS_TYPE_MS1, MSMS_TYPE_DIA, MSMS_TYPE_MSMS):
+        is_dia = msms_type == MSMS_TYPE_DIA and int(frame_id) in frame_group
+        if msms_type != MSMS_TYPE_MS1 and not is_dia:
+            # ddaPASEF (8), bbCID/MRM (2), or DIA frames missing from
+            # DiaFrameMsMsInfo: without an isolation annotation they would
+            # corrupt the cycle detection, so they are skipped
+            key = f"MsMsType={msms_type}"
+            n_skipped[key] = n_skipped.get(key, 0) + 1
             continue
         scan_idx, tof, inten = _read_frame(bin_bytes, int(tims_id), dctx)
         if n_peaks is not None and len(tof) != int(n_peaks):
@@ -240,7 +249,7 @@ def read_bruker_d(path: str | Path) -> SpectrumData:
         mz = tof2mz(tof)
         mob = scan2im(scan_idx)
 
-        if msms_type == MSMS_TYPE_DIA and int(frame_id) in frame_group:
+        if is_dia:
             windows = group_windows.get(frame_group[int(frame_id)], [])
             for begin, end, iso_mz, iso_w in windows:
                 m = (scan_idx >= begin) & (scan_idx < end)
@@ -260,15 +269,19 @@ def read_bruker_d(path: str | Path) -> SpectrumData:
             mob_parts.append(mob[order])
             counts.append(len(mz))
             rts.append(float(time_s))
-            levels.append(1 if msms_type == MSMS_TYPE_MS1 else 2)
+            levels.append(1)
             iso_lo.append(-1.0)
             iso_hi.append(-1.0)
 
-    if n_skipped_pasef:
+    bin_bytes.release()
+    mm.close()
+
+    for key, n in n_skipped.items():
         logger.warning(
-            "skipped %d ddaPASEF (MsMsType=8) frames — only MS1/DIA frames "
+            "skipped %d %s frames — only MS1 and annotated diaPASEF frames "
             "are searched",
-            n_skipped_pasef,
+            n,
+            key,
         )
     if not counts:
         raise TdfFormatError("no usable MS1/DIA frames found")

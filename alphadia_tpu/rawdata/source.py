@@ -91,8 +91,9 @@ def load_raw_file(path: str | Path, thread_count: int = 4) -> SpectrumData:
     alphadia/workflow/managers/raw_file_manager.py:37-92).
 
     Supported here: .mzml (XML), .hdf/.hdf5/.h5 (alphaRaw layout or our
-    cache), .npz (synthetic/test dumps). Vendor formats (.raw/.wiff/.d)
-    require external converters in this environment and raise a clear error.
+    cache), .d (Bruker TDF directories, decoded natively), .npz
+    (synthetic/test dumps). Thermo .raw / Sciex .wiff require external
+    conversion to mzML and raise a clear error.
     """
     path = Path(path)
     suffix = path.suffix.lower()

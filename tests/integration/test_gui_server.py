@@ -23,31 +23,60 @@ from alphadia_tpu.testing.synthetic import (
 )
 
 
+TOKEN = "test-token-123"
+
+
 @pytest.fixture()
 def server():
     from http.server import ThreadingHTTPServer
 
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(JobManager()))
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(JobManager(), TOKEN)
+    )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
 
 
-def _get(url):
-    with urllib.request.urlopen(url, timeout=10) as r:
+def _get(url, token=TOKEN):
+    req = urllib.request.Request(url, headers={"X-Auth-Token": token})
+    with urllib.request.urlopen(req, timeout=10) as r:
         return json.loads(r.read())
 
 
-def _post(url, payload):
+def _post(url, payload, token=TOKEN):
     req = urllib.request.Request(
-        url, data=json.dumps(payload).encode(), method="POST"
+        url,
+        data=json.dumps(payload).encode(),
+        method="POST",
+        headers={"X-Auth-Token": token},
     )
     try:
         with urllib.request.urlopen(req, timeout=10) as r:
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+def test_auth_required(server):
+    # /api without the token (CSRF surface) is refused
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server + "/api/schema", token="wrong")
+    assert exc.value.code == 403
+    code, _ = _post(server + "/api/run", {}, token="")
+    assert code == 403
+    # non-loopback Host header (DNS rebinding) is refused even with token
+    req = urllib.request.Request(
+        server + "/api/schema",
+        headers={"X-Auth-Token": TOKEN, "Host": "evil.example:8855"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=10)
+    assert exc.value.code == 403
+    # the static page itself needs no token (it carries none)
+    with urllib.request.urlopen(server + "/", timeout=10) as r:
+        assert r.status == 200
 
 
 def test_schema_and_static_page(server):

@@ -156,7 +156,8 @@ def _browse(path_str: str) -> dict:
                     "path": str(p),
                     "dir": is_dir,
                     # .d directories ARE raw files
-                    "raw": suffix in RAW_SUFFIXES,
+                    "raw": suffix in RAW_SUFFIXES
+                    or p.name.lower().endswith(".mzml.gz"),
                     "lib": (not is_dir) and suffix in LIB_SUFFIXES,
                     "fasta": (not is_dir) and suffix in (".fasta", ".fa"),
                 }

@@ -24,6 +24,60 @@ _DTYPES = {
 }
 
 
+def pack_valid_bits_np(valid: np.ndarray) -> np.ndarray:
+    """Pack bool[B, K] into uint16[B, ceil(K/16)] words (host, numpy).
+
+    Inverse lives in the scoring kernel's wire decode
+    (ops/scoring.py score_candidates_batch).
+    """
+    B, K = valid.shape
+    n_words = (K + 15) // 16
+    idx = np.arange(K)
+    contrib = valid.astype(np.uint32) << (idx % 16)[None, :]
+    words = np.zeros((B, n_words), np.uint16)
+    for w in range(n_words):
+        sel = idx // 16 == w
+        words[:, w] = contrib[:, sel].sum(axis=1).astype(np.uint16)
+    return words
+
+
+# host->device wire dtypes for the per-candidate scoring batch arrays:
+# halves upload bytes through the TPU tunnel (~40 MB/s); the kernel casts
+# back to canonical dtypes at trace time. m/z arrays and quad window
+# bounds stay f32 (precision / 1e7 sentinel).
+_WIRE_F16 = {"frag_intensity", "iso_intensity", "mobility_width"}
+_WIRE_U8 = {"frag_type", "frag_position"}
+_WIRE_I16 = {
+    "ms2_slot", "ms1_slot",
+    "frame_center", "frame_start", "frame_stop",
+    "scan_lo", "scan_hi",
+    # selection batch arrays
+    "frag_slot", "iso_slot", "cycle_start", "n_valid_fragments",
+}
+
+
+def compact_wire(key: str, a: np.ndarray) -> np.ndarray:
+    """Compact one scoring batch array to its wire dtype (lossless for
+    index/slot arrays within i16/u8 range; ~5e-4 relative for f16
+    intensities). Falls back to the original dtype when values don't fit,
+    so exotic inputs stay correct at full width."""
+    if key == "frag_valid":
+        return pack_valid_bits_np(a)
+    if key in _WIRE_F16:
+        if a.size and float(np.abs(a).max()) > 60000.0:
+            return a
+        return a.astype(np.float16)
+    if key in _WIRE_U8:
+        if a.size and (int(a.min()) < 0 or int(a.max()) > 255):
+            return a
+        return a.astype(np.uint8)
+    if key in _WIRE_I16:
+        if a.size and (int(a.min()) < -32768 or int(a.max()) > 32767):
+            return a
+        return a.astype(np.int16)
+    return a
+
+
 def pack_u32(result: dict):
     """Pack a dict of [B, ...] 32-bit (or bool) arrays into uint32 [B, C]."""
     B = next(iter(result.values())).shape[0]

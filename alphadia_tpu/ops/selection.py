@@ -93,6 +93,13 @@ def select_candidates_batch(
     peak_cycle_tolerance: int = 3,
     use_pallas: bool = False,
 ):
+    # wire decode: the driver may upload i16 slot/index arrays to halve
+    # tunnel bytes; cast back (free under jit)
+    frag_slot = frag_slot.astype(jnp.int32)
+    iso_slot = iso_slot.astype(jnp.int32)
+    cycle_start = cycle_start.astype(jnp.int32)
+    n_valid_fragments = n_valid_fragments.astype(jnp.int32)
+
     B = frag_slot.shape[0]
     W = window_len
     xic_kw = dict(
@@ -285,6 +292,12 @@ def select_candidates_batch_4d(
     Output adds scan_center/scan_start/scan_stop in scan-bin coordinates
     (convert to mobility via DiaData.mobility_values).
     """
+    # wire decode (see select_candidates_batch)
+    frag_slot = frag_slot.astype(jnp.int32)
+    iso_slot = iso_slot.astype(jnp.int32)
+    cycle_start = cycle_start.astype(jnp.int32)
+    n_valid_fragments = n_valid_fragments.astype(jnp.int32)
+
     B = frag_slot.shape[0]
     W, S = window_len, n_scan_bins
     xic_kw = dict(

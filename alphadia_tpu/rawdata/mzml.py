@@ -121,7 +121,15 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
     any_mobility = False
     n_profile = 0
 
-    context = etree.iterparse(str(path), events=("end",), tag=f"{_NS}spectrum")
+    # converters commonly gzip whole mzML files (.mzML.gz); iterparse
+    # streams from any file object, so decompress on the fly
+    if str(path).lower().endswith(".gz"):
+        import gzip
+
+        source = gzip.open(str(path), "rb")
+    else:
+        source = str(path)
+    context = etree.iterparse(source, events=("end",), tag=f"{_NS}spectrum")
     for _, spec in context:
         ms_level = 1
         rt = 0.0
@@ -185,6 +193,9 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
         spec.clear()
         while spec.getprevious() is not None:
             del spec.getparent()[0]
+
+    if not isinstance(source, str):
+        source.close()
 
     if n_profile:
         logger.warning(

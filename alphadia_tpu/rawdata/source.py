@@ -90,14 +90,15 @@ def load_raw_file(path: str | Path, thread_count: int = 4) -> SpectrumData:
     """Dispatch on file extension (reference:
     alphadia/workflow/managers/raw_file_manager.py:37-92).
 
-    Supported here: .mzml (XML), .hdf/.hdf5/.h5 (alphaRaw layout or our
-    cache), .d (Bruker TDF directories, decoded natively), .npz
-    (synthetic/test dumps). Thermo .raw / Sciex .wiff require external
-    conversion to mzML and raise a clear error.
+    Supported here: .mzml / .mzml.gz (XML, plain or gzipped),
+    .hdf/.hdf5/.h5 (alphaRaw layout or our cache), .d (Bruker TDF
+    directories, decoded natively), .npz (synthetic/test dumps). Thermo
+    .raw / Sciex .wiff require external conversion to mzML and raise a
+    clear error.
     """
     path = Path(path)
     suffix = path.suffix.lower()
-    if suffix == ".mzml":
+    if suffix == ".mzml" or path.name.lower().endswith(".mzml.gz"):
         from alphadia_tpu.rawdata.mzml import read_mzml
 
         return read_mzml(path, thread_count=thread_count)

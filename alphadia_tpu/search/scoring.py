@@ -122,6 +122,11 @@ class ScoringConfig:
     # only kernel-matched ones — transfer learning trains on the complete
     # intensity vector (reference requantify_fragments contract)
     collect_unobserved_fragments: bool = False
+    # False = optimization-iteration transport: per-fragment quant
+    # (height/intensity) is dropped from the device->host download (~23%
+    # fewer bytes; the calibration loop only consumes mass_error,
+    # correlation, obs_intensity and scan_com)
+    transport_quant: bool = True
     batch_size: int = 16384
     gather_slab: int = 256
     max_ms2_obs: int = 2
@@ -376,18 +381,23 @@ class CandidateScoring:
             "frame_stop", "scan_lo", "scan_hi", "mobility_width",
         )
 
-        def _full(a):
+        from alphadia_tpu.ops.packing import compact_wire
+
+        def _full(key, a):
             if n_padded > n:
                 a = np.concatenate(
                     [a, np.repeat(a[-1:], n_padded - n, axis=0)], axis=0
                 )
+            # compact wire dtypes (f16/u8/i16/bit-packed validity) halve
+            # upload bytes through the tunnel; the kernel decodes
+            a = compact_wire(key, a)
             # slicing a mesh-sharded array crashes/reshards; with a mesh the
             # per-batch device_put below handles placement instead
             if mesh is not None:
                 return a
             return _jax.device_put(a)
 
-        batch_dev = {k: _full(arrays[k]) for k in _BATCH_KEYS}
+        batch_dev = {k: _full(k, arrays[k]) for k in _BATCH_KEYS}
 
         qs = np.asarray(cfg.quad_sigma, np.float32)
         qd = np.asarray(cfg.quad_delta_mu, np.float32)
@@ -415,6 +425,7 @@ class CandidateScoring:
                     batch_dev["frame_stop"], batch_dev["scan_lo"],
                     batch_dev["scan_hi"], batch_dev["mobility_width"],
                     np.int32(b0), ftol, ptol, bsz=bsz, pack_output=True,
+                    transport_quant=cfg.transport_quant,
                     **static_kw,
                 )
                 pending.append((bsz - pad, b0, packed))
@@ -454,6 +465,7 @@ class CandidateScoring:
                 _pad("mobility_width"),
                 ftol,
                 ptol,
+                transport_quant=cfg.transport_quant,
                 **static_kw,
             )
             pending.append((bsz - pad, b0, packed))
@@ -461,7 +473,10 @@ class CandidateScoring:
         KF = cfg.top_k_fragments
         for take, b0, packed in pending:
             features, valid, frag_out = unpack_scoring_output(
-                np.asarray(packed)[:take], KF, arrays["ms2_slot"].shape[1]
+                np.asarray(packed)[:take],
+                KF,
+                arrays["ms2_slot"].shape[1],
+                with_quant=cfg.transport_quant,
             )
             # mz_observed reconstructed exactly from mass_error (ppm, f16:
             # resolution ~0.01 ppm) and the queried library m/z

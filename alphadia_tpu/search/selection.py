@@ -278,7 +278,9 @@ class CandidateSelection:
         n_padded = max(b0 + bsz for b0, bsz in schedule) if schedule else Bsz
         import jax as _jax
 
-        def _full(a, zero_tail=False):
+        from alphadia_tpu.ops.packing import compact_wire
+
+        def _full(key, a, zero_tail=False):
             if n_padded > n:
                 tail = (
                     np.zeros((n_padded - n,) + a.shape[1:], a.dtype)
@@ -286,6 +288,9 @@ class CandidateSelection:
                     else np.repeat(a[-1:], n_padded - n, axis=0)
                 )
                 a = np.concatenate([a, tail], axis=0)
+            # i16 wire dtypes for slot/index arrays halve upload bytes
+            # through the tunnel; the kernel decodes
+            a = compact_wire(key, a)
             # slicing a mesh-sharded array crashes/reshards; with a mesh the
             # per-batch device_put below handles placement instead
             if mesh is not None:
@@ -293,13 +298,15 @@ class CandidateSelection:
             return _jax.device_put(a)
 
         batch_dev = {
-            "frag_slot": _full(arrays["frag_slot"]),
-            "frag_mz": _full(arrays["frag_mz"]),
-            "iso_slot": _full(arrays["iso_slot"]),
-            "iso_mz": _full(arrays["iso_mz"]),
-            "cycle_start": _full(arrays["cycle_start"]),
+            "frag_slot": _full("frag_slot", arrays["frag_slot"]),
+            "frag_mz": _full("frag_mz", arrays["frag_mz"]),
+            "iso_slot": _full("iso_slot", arrays["iso_slot"]),
+            "iso_mz": _full("iso_mz", arrays["iso_mz"]),
+            "cycle_start": _full("cycle_start", arrays["cycle_start"]),
             # padded tail rows must not emit candidates
-            "n_valid_fragments": _full(arrays["n_valid_fragments"], zero_tail=True),
+            "n_valid_fragments": _full(
+                "n_valid_fragments", arrays["n_valid_fragments"], zero_tail=True
+            ),
         }
 
         ftol = np.float32(cfg.fragment_mz_tolerance)

@@ -26,9 +26,9 @@ class RawFileManager(BaseManager):
         from pathlib import Path
 
         src = Path(raw_path)
-        if src.suffix.lower() != ".mzml":
+        if not src.name.lower().endswith((".mzml", ".mzml.gz")):
             return load_raw_file(raw_path, thread_count=thread_count)
-        cache = src.with_suffix(src.suffix + ".cache.hdf")
+        cache = src.parent / (src.name + ".cache.hdf")
         if cache.exists() and cache.stat().st_mtime >= src.stat().st_mtime:
             try:
                 from alphadia_tpu.rawdata.hdf import read_alpharaw_hdf

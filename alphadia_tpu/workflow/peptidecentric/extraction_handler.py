@@ -51,9 +51,12 @@ class ExtractionHandler:
             gather_slab=cfg["tpu"]["gather_slab"],
         )
 
-    def _scoring_config(self) -> ScoringConfig:
+    def _scoring_config(self, light_transport: bool = False) -> ScoringConfig:
         cfg = self._config
         return ScoringConfig(
+            # optimization iterations don't consume per-fragment quant:
+            # drop it from the device->host download (~23% fewer bytes)
+            transport_quant=not light_transport,
             precursor_mz_tolerance=self._om.ms1_error,
             fragment_mz_tolerance=self._om.ms2_error,
             top_k_fragments=cfg["search"]["top_k_fragments_scoring"],
@@ -109,13 +112,17 @@ class ExtractionHandler:
         return candidates_df
 
     def score_and_quantify_candidates(
-        self, candidates_df: pd.DataFrame, dia_data: DiaData, lib
+        self,
+        candidates_df: pd.DataFrame,
+        dia_data: DiaData,
+        lib,
+        light_transport: bool = False,
     ) -> tuple[pd.DataFrame, pd.DataFrame]:
         scoring = CandidateScoring(
             dia_data,
             lib.precursor_df,
             lib.fragment_df,
-            self._scoring_config(),
+            self._scoring_config(light_transport=light_transport),
             rt_column=self._cols.get_rt_column(),
             precursor_mz_column=self._cols.get_precursor_mz_column(),
             fragment_mz_column=self._cols.get_fragment_mz_column(),

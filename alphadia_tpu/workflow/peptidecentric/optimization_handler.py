@@ -234,7 +234,10 @@ class OptimizationHandler:
             self._dia_data, self._optlock.batch_library
         )
         features_df, fragments_df = handler.score_and_quantify_candidates(
-            candidates_df, self._dia_data, self._optlock.batch_library
+            candidates_df,
+            self._dia_data,
+            self._optlock.batch_library,
+            light_transport=True,
         )
         self._optlock.update_with_extraction(features_df, fragments_df)
 

@@ -17,6 +17,45 @@ from alphadia_tpu.ops.scoring import (
 )
 
 
+def test_wire_compaction_equivalence():
+    """Uploading wire-compacted batch arrays (f16/u8/i16/bit-packed
+    validity, ops/packing.py compact_wire) must give the same features as
+    canonical dtypes, within f16 library-intensity precision."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_demo_data, _scoring_inputs
+
+    from alphadia_tpu.ops.packing import compact_wire
+    from alphadia_tpu.ops.scoring import score_candidates_batch
+
+    dia, prec, frag = _make_demo_data()
+    args, static = _scoring_inputs(dia, prec, frag, B=16)
+    ref_feat, ref_valid, ref_frag = score_candidates_batch(*args, **static)
+
+    # arg positions: 6 device arrays, then the batch arrays by name
+    names = [None] * 6 + [
+        "frag_mz", "frag_valid", "frag_intensity", "frag_type",
+        "frag_position", "iso_mz", "iso_intensity", "ms2_slot", "ms1_slot",
+        "win_lo", "win_hi", None, None,  # quad params
+        "frame_center", "frame_start", "frame_stop",
+        "scan_lo", "scan_hi", "mobility_width", None, None,
+    ]
+    wired = tuple(
+        compact_wire(k, np.asarray(a)) if k else a
+        for k, a in zip(names, args)
+    )
+    feat, valid, frag_out = score_candidates_batch(*wired, **static)
+
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+    np.testing.assert_array_equal(
+        np.asarray(frag_out["valid"]), np.asarray(ref_frag["valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat), np.asarray(ref_feat), rtol=2e-3, atol=1e-4
+    )
+
+
 @pytest.mark.parametrize("KF", [4, 12, 16, 20, 64])
 def test_pack_unpack_round_trip(KF):
     rng = np.random.default_rng(17)
@@ -66,3 +105,56 @@ def test_pack_unpack_round_trip(KF):
         np.testing.assert_allclose(
             fo2[key], frag_out[key], rtol=1 / 128
         )  # bf16: 8-bit mantissa
+
+
+def test_pack_unpack_light_transport():
+    """with_quant=False (optimization-iteration transport): quant columns
+    are absent, the observed gate (height > 0) folds into the valid bits,
+    and everything else round-trips as usual."""
+    rng = np.random.default_rng(3)
+    B, KF, O2 = 7, 12, 2
+    features = rng.normal(size=(B, NUM_FEATURES)).astype(np.float32)
+    valid = rng.integers(0, 2, B).astype(bool)
+    frag_valid = rng.integers(0, 2, (B, KF)).astype(bool)
+    height = np.where(
+        rng.integers(0, 2, (B, KF)).astype(bool),
+        rng.uniform(1, 1e5, (B, KF)),
+        0.0,
+    ).astype(np.float32)
+    frag_out = {
+        "mass_error": rng.uniform(-40, 40, (B, KF)).astype(np.float32),
+        "height": height,
+        "intensity": rng.uniform(0, 1.0, (B, KF)).astype(np.float32),
+        "correlation": rng.uniform(-1, 1, (B, KF)).astype(np.float32),
+        "valid": frag_valid,
+        "obs_intensity": rng.uniform(0, 1e6, (B, O2)).astype(np.float32),
+        "scan_com": rng.uniform(0, 30, B).astype(np.float32),
+    }
+    packed_full = np.asarray(
+        pack_scoring_output(
+            jnp.asarray(features), jnp.asarray(valid),
+            {k: jnp.asarray(v) for k, v in frag_out.items()},
+        )
+    )
+    packed = np.asarray(
+        pack_scoring_output(
+            jnp.asarray(features), jnp.asarray(valid),
+            {k: jnp.asarray(v) for k, v in frag_out.items()},
+            with_quant=False,
+        )
+    )
+    assert packed.shape[1] == packed_full.shape[1] - 2 * KF
+    f2, v2, fo2 = unpack_scoring_output(packed, KF, O2, with_quant=False)
+
+    np.testing.assert_array_equal(v2, valid)
+    np.testing.assert_array_equal(fo2["valid"], frag_valid & (height > 0))
+    # height is synthesized 0/1 so `height > 0` gating still works
+    np.testing.assert_array_equal(fo2["height"] > 0, fo2["valid"])
+    np.testing.assert_array_equal(fo2["intensity"], 0.0)
+    np.testing.assert_allclose(
+        fo2["mass_error"], frag_out["mass_error"], rtol=1e-3, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        fo2["obs_intensity"], frag_out["obs_intensity"], rtol=1 / 128
+    )
+    np.testing.assert_array_equal(fo2["scan_com"], frag_out["scan_com"])

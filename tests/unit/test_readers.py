@@ -40,6 +40,32 @@ def test_mzml_roundtrip(tmp_path, small_spectra, compress):
     assert out2.n_spectra == out.n_spectra
 
 
+def test_mzml_gz_roundtrip(tmp_path, small_spectra):
+    """Gzipped mzML (.mzML.gz, the common converter output) parses
+    identically and dispatches by the double extension, including the
+    spectra-cache path keyed on the full name."""
+    import gzip
+
+    plain = tmp_path / "test.mzML"
+    _write_mzml(plain, small_spectra)
+    gz = tmp_path / "test.mzML.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+
+    out = load_raw_file(gz)
+    assert out.n_spectra == small_spectra.n_spectra
+    np.testing.assert_allclose(out.mz, small_spectra.mz, rtol=1e-6)
+
+    from alphadia_tpu.workflow.managers.raw_file_manager import RawFileManager
+
+    mgr = RawFileManager()
+    cached = mgr._load_with_cache(str(gz), thread_count=1)
+    assert cached.n_spectra == out.n_spectra
+    assert (tmp_path / "test.mzML.gz.cache.hdf").exists()
+    # second load hits the cache
+    again = mgr._load_with_cache(str(gz), thread_count=1)
+    np.testing.assert_allclose(again.mz, out.mz, rtol=1e-6)
+
+
 def test_hdf_roundtrip(tmp_path, small_spectra):
     p = tmp_path / "test.hdf"
     save_spectra_hdf(p, small_spectra)

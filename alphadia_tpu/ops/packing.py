@@ -78,6 +78,95 @@ def compact_wire(key: str, a: np.ndarray) -> np.ndarray:
     return a
 
 
+# selection result wire kinds: everything the selection kernel emits is
+# 16-bit safe when n_cycles/n_scan_bins < 32768 and candidate_count <= 16
+# (valid flags -> one bitmask word, scores -> f16, indices -> i16)
+_SEL_KINDS = {
+    "valid": "bits",
+    "rank": "i16",
+    "score": "f16",
+    "cycle_center": "i16",
+    "cycle_start": "i16",
+    "cycle_stop": "i16",
+    "scan_center": "i16",
+    "scan_start": "i16",
+    "scan_stop": "i16",
+}
+
+
+def pack_sel_u16(result: dict):
+    """Pack the selection result dict into ONE uint16 [B, C] buffer
+    (device side) — half the download bytes of :func:`pack_u32`.
+
+    Keys are consumed in sorted order, matching :func:`unpack_sel_u16`.
+    Caller guarantees 16-bit ranges (see driver guard in
+    search/selection.py).
+    """
+    B = next(iter(result.values())).shape[0]
+    cols = []
+    for k in sorted(result):
+        a = result[k]
+        kind = _SEL_KINDS[k]
+        if kind == "bits":
+            K = a.shape[1]
+            idx = jnp.arange(K, dtype=jnp.uint32)
+            contrib = a.astype(jnp.uint32) << (idx % 16)
+            words = [
+                (contrib * (idx // 16 == w)).sum(axis=1).astype(jnp.uint16)
+                for w in range((K + 15) // 16)
+            ]
+            cols.append(jnp.stack(words, axis=1))
+        elif kind == "f16":
+            cols.append(
+                jax.lax.bitcast_convert_type(
+                    a.astype(jnp.float16), jnp.uint16
+                ).reshape(B, -1)
+            )
+        else:  # i16
+            cols.append(
+                jax.lax.bitcast_convert_type(
+                    a.astype(jnp.int16), jnp.uint16
+                ).reshape(B, -1)
+            )
+    return jnp.concatenate(cols, axis=1)
+
+
+def unpack_sel_u16(packed: np.ndarray, spec: dict[str, tuple]) -> dict:
+    """Host-side inverse of :func:`pack_sel_u16`.
+
+    ``spec`` is the same mapping used with :func:`unpack_u32` (key ->
+    (dtype name, K)); kinds come from the shared ``_SEL_KINDS`` table and
+    values are widened back to the spec dtypes.
+    """
+    p = np.ascontiguousarray(packed)
+    o = 0
+    out = {}
+    for k in sorted(spec):
+        name, K = spec[k]
+        kind = _SEL_KINDS[k]
+        if kind == "bits":
+            n_words = (K + 15) // 16
+            words = np.ascontiguousarray(p[:, o : o + n_words]).astype(
+                np.uint32
+            )
+            o += n_words
+            idx = np.arange(K)
+            out[k] = (
+                (words[:, idx // 16] >> (idx % 16)[None, :]) & 1
+            ).astype(bool)
+        elif kind == "f16":
+            sl = np.ascontiguousarray(p[:, o : o + K])
+            o += K
+            out[k] = sl.view(np.float16).astype(np.float32)
+        else:
+            sl = np.ascontiguousarray(p[:, o : o + K])
+            o += K
+            out[k] = sl.view(np.int16).astype(np.int32)
+    if o != p.shape[1]:
+        raise ValueError(f"unpack_sel_u16: spec covers {o} of {p.shape[1]}")
+    return out
+
+
 def pack_u32(result: dict):
     """Pack a dict of [B, ...] 32-bit (or bool) arrays into uint32 [B, C]."""
     B = next(iter(result.values())).shape[0]

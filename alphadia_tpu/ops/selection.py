@@ -183,6 +183,7 @@ def select_candidates_batch(
     static_argnames=(
         "bsz",
         "pack_output",
+        "pack_mode",
         "n_cycles",
         "n_bins",
         "slab",
@@ -205,12 +206,15 @@ def select_candidates_batch_sliced(
     cycle_start_full, n_valid_fragments_full,
     b0,  # i32 scalar batch offset
     kernel, fragment_tol_ppm, precursor_tol_ppm,
-    *, bsz: int, pack_output: bool = False, **static_kw,
+    *, bsz: int, pack_output: bool = False, pack_mode: str = "u32",
+    **static_kw,
 ):
     """One dispatch per batch: slice the uploaded full arrays on device and
     run the selection kernel (a host-side eager slice per input array would
     cost one dispatch round-trip each on the remote-TPU tunnel).  With
-    ``pack_output`` the result dict comes back as one uint32 buffer."""
+    ``pack_output`` the result dict comes back as one uint32 buffer, or a
+    half-size uint16 buffer when ``pack_mode='u16'`` (driver guarantees
+    16-bit ranges)."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
     result = select_candidates_batch(
         peak_mz, peak_intensity, peak_packed,
@@ -222,9 +226,9 @@ def select_candidates_batch_sliced(
         **static_kw,
     )
     if pack_output:
-        from alphadia_tpu.ops.packing import pack_u32
+        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32
 
-        return pack_u32(result)
+        return pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
     return result
 
 
@@ -385,6 +389,7 @@ def select_candidates_batch_4d(
     static_argnames=(
         "bsz",
         "pack_output",
+        "pack_mode",
         "n_cycles",
         "n_bins",
         "n_scan_bins",
@@ -408,7 +413,8 @@ def select_candidates_batch_4d_sliced(
     cycle_start_full, n_valid_fragments_full,
     b0,
     kernel, fragment_tol_ppm, precursor_tol_ppm,
-    *, bsz: int, pack_output: bool = False, **static_kw,
+    *, bsz: int, pack_output: bool = False, pack_mode: str = "u32",
+    **static_kw,
 ):
     """4D analog of select_candidates_batch_sliced."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
@@ -421,7 +427,7 @@ def select_candidates_batch_4d_sliced(
         **static_kw,
     )
     if pack_output:
-        from alphadia_tpu.ops.packing import pack_u32
+        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32
 
-        return pack_u32(result)
+        return pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
     return result

@@ -311,6 +311,15 @@ class CandidateSelection:
 
         ftol = np.float32(cfg.fragment_mz_tolerance)
         ptol = np.float32(cfg.precursor_mz_tolerance)
+        # u16 packed download (half the bytes) whenever every emitted value
+        # is 16-bit safe; u32 fallback for exotic geometries
+        pack_mode = (
+            "u16"
+            if dia.n_cycles < 32000
+            and cfg.candidate_count <= 16
+            and (not use_4d or dia.n_scan_bins < 32000)
+            else "u32"
+        )
         pending = []  # (b0, bsz, pad, device results) — collect after all submits
         for b0, bsz in schedule:
             b1 = min(b0 + bsz, n)
@@ -328,6 +337,7 @@ class CandidateSelection:
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
                         bi, kernel, ftol, ptol, bsz=bsz, pack_output=True,
+                        pack_mode=pack_mode,
                         **static_kw,
                     )
                 else:
@@ -339,6 +349,7 @@ class CandidateSelection:
                         batch_dev["cycle_start"],
                         batch_dev["n_valid_fragments"],
                         bi, kernel, ftol, ptol, bsz=bsz, pack_output=True,
+                        pack_mode=pack_mode,
                         **static_kw,
                     )
                 pending.append((b0, bsz, pad, result))
@@ -402,9 +413,13 @@ class CandidateSelection:
             if isinstance(result, dict):  # mesh path (unpacked)
                 result = {k: np.asarray(v) for k, v in result.items()}
             else:  # packed single-download buffer
-                from alphadia_tpu.ops.packing import unpack_u32
+                from alphadia_tpu.ops.packing import unpack_sel_u16, unpack_u32
 
-                result = unpack_u32(np.asarray(result), unpack_spec)
+                result = (
+                    unpack_sel_u16(np.asarray(result), unpack_spec)
+                    if pack_mode == "u16"
+                    else unpack_u32(np.asarray(result), unpack_spec)
+                )
             valid = result["valid"].copy()
             if pad:
                 valid[bsz - pad :] = False

@@ -107,6 +107,44 @@ def test_pack_unpack_round_trip(KF):
         )  # bf16: 8-bit mantissa
 
 
+@pytest.mark.parametrize("with_scan", [False, True])
+def test_sel_u16_round_trip(with_scan):
+    """Selection u16 packed download (half of pack_u32) round-trips: valid
+    bitmask, i16 indices exactly, f16 scores to ~1e-3."""
+    from alphadia_tpu.ops.packing import pack_sel_u16, unpack_sel_u16
+
+    rng = np.random.default_rng(11)
+    B, K = 13, 3
+    result = {
+        "valid": rng.integers(0, 2, (B, K)).astype(bool),
+        "rank": np.tile(np.arange(K, dtype=np.int32), (B, 1)),
+        "score": rng.uniform(0, 30, (B, K)).astype(np.float32),
+        "cycle_center": rng.integers(0, 3000, (B, K)).astype(np.int32),
+        "cycle_start": rng.integers(-5, 3000, (B, K)).astype(np.int32),
+        "cycle_stop": rng.integers(0, 3000, (B, K)).astype(np.int32),
+    }
+    spec = {
+        "valid": ("bool", K), "rank": ("int32", K), "score": ("float32", K),
+        "cycle_center": ("int32", K), "cycle_start": ("int32", K),
+        "cycle_stop": ("int32", K),
+    }
+    if with_scan:
+        for key in ("scan_center", "scan_start", "scan_stop"):
+            result[key] = rng.integers(0, 64, (B, K)).astype(np.int32)
+            spec[key] = ("int32", K)
+
+    packed = np.asarray(pack_sel_u16({k: jnp.asarray(v) for k, v in result.items()}))
+    assert packed.dtype == np.uint16
+    out = unpack_sel_u16(packed, spec)
+    np.testing.assert_array_equal(out["valid"], result["valid"])
+    for key in spec:
+        if key in ("valid", "score"):
+            continue
+        np.testing.assert_array_equal(out[key], result[key])
+        assert out[key].dtype == np.int32
+    np.testing.assert_allclose(out["score"], result["score"], rtol=1e-3)
+
+
 def test_pack_unpack_light_transport():
     """with_quant=False (optimization-iteration transport): quant columns
     are absent, the observed gate (height > 0) folds into the valid bits,

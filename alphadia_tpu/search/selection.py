@@ -65,7 +65,7 @@ class SelectionConfig:
     # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
     use_pallas: bool = True
     # device batching
-    batch_size: int = 8192
+    batch_size: int = 16384
     gather_slab: int = 256
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1

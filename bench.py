@@ -93,7 +93,7 @@ def measure(n_peptides=6000, n_cycles=600, batch_size=None):
     # batch caps: the drivers split these into a greedy pow2 schedule
     # (round-1 sweep: scoring 16384 and selection 8192 were the best
     # fixed sizes on the tunnel; the schedule bounds tail padding)
-    sel_batch = batch_size or 8192
+    sel_batch = batch_size or 16384
     score_batch = batch_size or 16384
 
     def run_once(p, phases=None):

@@ -24,12 +24,35 @@ _DTYPES = {
 }
 
 
-def pack_valid_bits_np(valid: np.ndarray) -> np.ndarray:
-    """Pack bool[B, K] into uint16[B, ceil(K/16)] words (host, numpy).
+# ---- 16-bit validity bitmasks (single definition for every transport) --
+# bool[B, K] <-> uint16[B, ceil(K/16)] words, bit i of word w = flag of
+# column 16*w + i. The jnp pair runs inside jitted kernels, the np pair on
+# host; all four MUST stay bit-for-bit inverses of each other.
 
-    Inverse lives in the scoring kernel's wire decode
-    (ops/scoring.py score_candidates_batch).
-    """
+
+def pack_bits_jnp(valid):
+    """bool[B, K] -> uint16[B, ceil(K/16)] (device, inside jit)."""
+    K = valid.shape[1]
+    idx = jnp.arange(K, dtype=jnp.uint32)
+    contrib = valid.astype(jnp.uint32) << (idx % 16)
+    return jnp.stack(
+        [
+            (contrib * (idx // 16 == w)).sum(axis=1).astype(jnp.uint16)
+            for w in range((K + 15) // 16)
+        ],
+        axis=1,
+    )
+
+
+def unpack_bits_jnp(words, K: int):
+    """uint16[B, n_words] -> bool[B, K] (device, inside jit)."""
+    w = words.astype(jnp.uint32)
+    bit = jnp.arange(K, dtype=jnp.uint32)
+    return ((w[:, bit // 16] >> (bit % 16)[None, :]) & 1).astype(bool)
+
+
+def pack_valid_bits_np(valid: np.ndarray) -> np.ndarray:
+    """bool[B, K] -> uint16[B, ceil(K/16)] (host, numpy)."""
     B, K = valid.shape
     n_words = (K + 15) // 16
     idx = np.arange(K)
@@ -39,6 +62,13 @@ def pack_valid_bits_np(valid: np.ndarray) -> np.ndarray:
         sel = idx // 16 == w
         words[:, w] = contrib[:, sel].sum(axis=1).astype(np.uint16)
     return words
+
+
+def unpack_bits_np(words: np.ndarray, K: int) -> np.ndarray:
+    """uint16[B, n_words] -> bool[B, K] (host, numpy)."""
+    w = np.ascontiguousarray(words).astype(np.uint32)
+    idx = np.arange(K)
+    return (((w[:, idx // 16] >> (idx % 16)[None, :]) & 1)).astype(bool)
 
 
 # host->device wire dtypes for the per-candidate scoring batch arrays:
@@ -64,7 +94,8 @@ def compact_wire(key: str, a: np.ndarray) -> np.ndarray:
     if key == "frag_valid":
         return pack_valid_bits_np(a)
     if key in _WIRE_F16:
-        if a.size and float(np.abs(a).max()) > 60000.0:
+        # scalar min/max: no |a|-sized temporary on the upload hot path
+        if a.size and max(-float(a.min()), float(a.max())) > 60000.0:
             return a
         return a.astype(np.float16)
     if key in _WIRE_U8:
@@ -108,14 +139,7 @@ def pack_sel_u16(result: dict):
         a = result[k]
         kind = _SEL_KINDS[k]
         if kind == "bits":
-            K = a.shape[1]
-            idx = jnp.arange(K, dtype=jnp.uint32)
-            contrib = a.astype(jnp.uint32) << (idx % 16)
-            words = [
-                (contrib * (idx // 16 == w)).sum(axis=1).astype(jnp.uint16)
-                for w in range((K + 15) // 16)
-            ]
-            cols.append(jnp.stack(words, axis=1))
+            cols.append(pack_bits_jnp(a))
         elif kind == "f16":
             cols.append(
                 jax.lax.bitcast_convert_type(
@@ -146,14 +170,8 @@ def unpack_sel_u16(packed: np.ndarray, spec: dict[str, tuple]) -> dict:
         kind = _SEL_KINDS[k]
         if kind == "bits":
             n_words = (K + 15) // 16
-            words = np.ascontiguousarray(p[:, o : o + n_words]).astype(
-                np.uint32
-            )
+            out[k] = unpack_bits_np(p[:, o : o + n_words], K)
             o += n_words
-            idx = np.arange(K)
-            out[k] = (
-                (words[:, idx // 16] >> (idx % 16)[None, :]) & 1
-            ).astype(bool)
         elif kind == "f16":
             sl = np.ascontiguousarray(p[:, o : o + K])
             o += K

@@ -130,11 +130,9 @@ def score_candidates_batch(
     # bit-packed fragment validity) — cast back to canonical dtypes here;
     # under jit the casts fuse into the first consumers for free.
     if frag_valid.dtype != jnp.bool_:
-        words = frag_valid.astype(jnp.uint32)  # [B, ceil(KF/16)]
-        bit = jnp.arange(KF, dtype=jnp.uint32)
-        frag_valid = (
-            (words[:, bit // 16] >> (bit % 16)[None, :]) & 1
-        ).astype(bool)
+        from alphadia_tpu.ops.packing import unpack_bits_jnp
+
+        frag_valid = unpack_bits_jnp(frag_valid, KF)
     frag_intensity = frag_intensity.astype(jnp.float32)
     iso_intensity = iso_intensity.astype(jnp.float32)
     mobility_width = mobility_width.astype(jnp.float32)
@@ -624,20 +622,13 @@ def pack_scoring_output(features, valid, frag_out, with_quant: bool = True):
 
     # KF valid bits packed 16 per u16 word (transfer-requant scores the
     # full fragment space, so KF can be well above 16)
-    n_words = (KF + 15) // 16
-    idx = jnp.arange(KF, dtype=jnp.uint32)
+    from alphadia_tpu.ops.packing import pack_bits_jnp
+
     fvalid = frag_out["valid"]
     if not with_quant:
         # no height downloaded: pre-apply the observed gate to the bits
         fvalid = fvalid & (frag_out["height"] > 0)
-    contrib = fvalid.astype(jnp.uint32) << (idx % 16)
-    fvbits = jnp.stack(
-        [
-            (contrib * (idx // 16 == w)).sum(axis=1).astype(u16)
-            for w in range(n_words)
-        ],
-        axis=1,
-    )
+    fvbits = pack_bits_jnp(fvalid)
     me = jnp.clip(frag_out["mass_error"], -2000.0, 2000.0)
     f32_idx, bf16_idx, f16_idx = _feature_precision_classes(features.shape[1])
     cols = [
@@ -697,13 +688,13 @@ def unpack_scoring_output(
         np.float32
     )
     features[:, f16_idx] = take(len(f16_idx), np.float16).astype(np.float32)
+    from alphadia_tpu.ops.packing import unpack_bits_np
+
     valid = take(1)[:, 0].astype(bool)
     n_words = (KF + 15) // 16
-    fvwords = take(n_words).astype(np.uint32)  # [B, n_words]
-    idx = np.arange(KF)
-    fmask = (fvwords[:, idx // 16] >> (idx % 16)[None, :]) & 1
+    fmask = unpack_bits_np(take(n_words), KF)
     frag_out = {
-        "valid": fmask.astype(bool),
+        "valid": fmask,
         "mass_error": take(KF, np.float16).astype(np.float32),
         "correlation": take(KF, np.float16).astype(np.float32),
     }

@@ -122,80 +122,85 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
     n_profile = 0
 
     # converters commonly gzip whole mzML files (.mzML.gz); iterparse
-    # streams from any file object, so decompress on the fly
+    # streams from any file object, so decompress on the fly. try/finally
+    # so a malformed file can't leak the descriptor (the GUI server is
+    # long-running).
     if str(path).lower().endswith(".gz"):
         import gzip
 
         source = gzip.open(str(path), "rb")
     else:
         source = str(path)
-    context = etree.iterparse(source, events=("end",), tag=f"{_NS}spectrum")
-    for _, spec in context:
-        ms_level = 1
-        rt = 0.0
-        target = lower_off = upper_off = None
-        scan_mobility = None
+    try:
+        context = etree.iterparse(
+            source, events=("end",), tag=f"{_NS}spectrum"
+        )
+        for _, spec in context:
+            ms_level = 1
+            rt = 0.0
+            target = lower_off = upper_off = None
+            scan_mobility = None
 
-        for cv in spec.iter(f"{_NS}cvParam"):
-            acc = cv.get("accession")
-            if acc == ACC_MS_LEVEL:
-                ms_level = int(cv.get("value"))
-            elif acc == ACC_SCAN_START:
-                rt = _rt_seconds(cv)
-            elif acc == ACC_ISO_TARGET:
-                target = float(cv.get("value"))
-            elif acc == ACC_ISO_LOWER:
-                lower_off = float(cv.get("value"))
-            elif acc == ACC_ISO_UPPER:
-                upper_off = float(cv.get("value"))
-            elif acc == ACC_SCAN_INV_MOB:
-                scan_mobility = float(cv.get("value"))
-            elif acc == ACC_PROFILE:
-                n_profile += 1
+            for cv in spec.iter(f"{_NS}cvParam"):
+                acc = cv.get("accession")
+                if acc == ACC_MS_LEVEL:
+                    ms_level = int(cv.get("value"))
+                elif acc == ACC_SCAN_START:
+                    rt = _rt_seconds(cv)
+                elif acc == ACC_ISO_TARGET:
+                    target = float(cv.get("value"))
+                elif acc == ACC_ISO_LOWER:
+                    lower_off = float(cv.get("value"))
+                elif acc == ACC_ISO_UPPER:
+                    upper_off = float(cv.get("value"))
+                elif acc == ACC_SCAN_INV_MOB:
+                    scan_mobility = float(cv.get("value"))
+                elif acc == ACC_PROFILE:
+                    n_profile += 1
 
-        if target is not None:
-            lo = target - (lower_off if lower_off is not None else 0.0)
-            hi = target + (upper_off if upper_off is not None else 0.0)
-        else:
-            lo = hi = -1.0
+            if target is not None:
+                lo = target - (lower_off if lower_off is not None else 0.0)
+                hi = target + (upper_off if upper_off is not None else 0.0)
+            else:
+                lo = hi = -1.0
 
-        mz = inten = np.zeros(0, np.float32)
-        mob = None
-        for arr_elem in spec.iter(f"{_NS}binaryDataArray"):
-            kind, vals = _decode_binary(arr_elem)
-            if kind == "mz":
-                mz = vals.astype(np.float32)
-            elif kind == "intensity":
-                inten = vals.astype(np.float32)
-            elif kind == "mobility":
-                mob = vals.astype(np.float32)
+            mz = inten = np.zeros(0, np.float32)
+            mob = None
+            for arr_elem in spec.iter(f"{_NS}binaryDataArray"):
+                kind, vals = _decode_binary(arr_elem)
+                if kind == "mz":
+                    mz = vals.astype(np.float32)
+                elif kind == "intensity":
+                    inten = vals.astype(np.float32)
+                elif kind == "mobility":
+                    mob = vals.astype(np.float32)
 
-        if mob is None and scan_mobility is not None:
-            mob = np.full(len(mz), scan_mobility, np.float32)
-        if mob is not None and len(mob) != len(mz):
-            mob = None  # malformed array: drop rather than misalign
+            if mob is None and scan_mobility is not None:
+                mob = np.full(len(mz), scan_mobility, np.float32)
+            if mob is not None and len(mob) != len(mz):
+                mob = None  # malformed array: drop rather than misalign
 
-        if ms_level == 1:
-            lo = hi = -1.0
-        order = np.argsort(mz, kind="stable")
-        rts.append(rt)
-        levels.append(ms_level)
-        iso_lo.append(lo)
-        iso_hi.append(hi)
-        mz_chunks.append(mz[order])
-        int_chunks.append(inten[order])
-        if mob is not None:
-            any_mobility = True
-            mob_chunks.append(mob[order])
-        else:
-            mob_chunks.append(np.zeros(len(mz), np.float32))
+            if ms_level == 1:
+                lo = hi = -1.0
+            order = np.argsort(mz, kind="stable")
+            rts.append(rt)
+            levels.append(ms_level)
+            iso_lo.append(lo)
+            iso_hi.append(hi)
+            mz_chunks.append(mz[order])
+            int_chunks.append(inten[order])
+            if mob is not None:
+                any_mobility = True
+                mob_chunks.append(mob[order])
+            else:
+                mob_chunks.append(np.zeros(len(mz), np.float32))
 
-        spec.clear()
-        while spec.getprevious() is not None:
-            del spec.getparent()[0]
-
-    if not isinstance(source, str):
-        source.close()
+            spec.clear()
+            while spec.getprevious() is not None:
+                del spec.getparent()[0]
+    finally:
+        if not isinstance(source, str):
+            source.close()
 
     if n_profile:
         logger.warning(

@@ -258,7 +258,13 @@ class CandidateSelection:
                 use_pallas=_pallas_available() and cfg.use_pallas,
             )
 
-        Bsz = effective_batch(cfg.batch_size, n)
+        cap = cfg.batch_size
+        if use_4d:
+            # the 4D score map keeps the scan axis: dense [B, Q, S, W]
+            # intermediates are S times the 3D footprint, so cap the batch
+            # like the scoring driver does
+            cap = min(cap, 4096)
+        Bsz = effective_batch(cap, n)
         out_frames = []
         precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
 
@@ -267,7 +273,7 @@ class CandidateSelection:
         from alphadia_tpu.utils.device import batch_schedule
 
         if mesh is None:
-            schedule = batch_schedule(n, cfg.batch_size)
+            schedule = batch_schedule(n, cap)
         else:
             schedule = [(b0, Bsz) for b0 in range(0, n, Bsz)]
 

@@ -91,8 +91,9 @@ def measure(n_peptides=6000, n_cycles=600, batch_size=None):
     cdt = "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
     # batch caps: the drivers split these into a greedy pow2 schedule
-    # (round-1 sweep: scoring 16384 and selection 8192 were the best
-    # fixed sizes on the tunnel; the schedule bounds tail padding)
+    # (round-2 sweep with compact uploads: 16384 is the best fixed size
+    # for BOTH phases — scoring 32768 regresses on padded-tail downloads;
+    # the schedule bounds tail padding)
     sel_batch = batch_size or 16384
     score_batch = batch_size or 16384
 

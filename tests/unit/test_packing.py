@@ -22,8 +22,9 @@ def test_wire_compaction_equivalence():
     validity, ops/packing.py compact_wire) must give the same features as
     canonical dtypes, within f16 library-intensity precision."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     from __graft_entry__ import _make_demo_data, _scoring_inputs
 
     from alphadia_tpu.ops.packing import compact_wire

@@ -16,7 +16,10 @@ Handles real converter output (msconvert / timsconvert):
 - MS-Numpress arrays are detected and rejected with a clear message
   (re-convert without numpress) instead of producing garbage.
 
-Peaks are expected centroided.
+Profile-mode spectra (MS:1000128) are centroided on the fly: intensity
+traces are split at zero gaps and local minima, each segment becomes one
+peak with an intensity-weighted m/z centroid and the summed intensity
+(the role alpharaw's centroiding plays for the reference).
 """
 
 from __future__ import annotations
@@ -112,6 +115,44 @@ def _rt_seconds(cv) -> float:
     return rt * 60.0 if unit.startswith("minute") else rt
 
 
+def centroid_profile(
+    mz: np.ndarray, intensity: np.ndarray, mobility: np.ndarray | None = None
+):
+    """Centroid one profile-mode spectrum (vectorized numpy).
+
+    Splits the trace into segments at zero-intensity gaps and at local
+    minima (valleys); each segment yields one centroid: the
+    intensity-weighted mean m/z (and mobility, if given) with the summed
+    intensity. Returns (mz, intensity, mobility|None), m/z ascending.
+    """
+    n = len(mz)
+    pos = intensity > 0
+    if n < 3 or not pos.any():
+        keep = pos
+        return (
+            mz[keep],
+            intensity[keep],
+            mobility[keep] if mobility is not None else None,
+        )
+    d = np.diff(intensity)
+    valley = np.zeros(n, bool)
+    valley[1:-1] = (d[:-1] < 0) & (d[1:] > 0)
+    # a segment starts at the first positive point after a gap or at a valley
+    start = pos & (~np.concatenate(([False], pos[:-1])) | valley)
+    seg_id = np.cumsum(start) - 1
+    ids = seg_id[pos]
+    w = intensity[pos].astype(np.float64)
+    n_seg = int(ids[-1]) + 1
+    tot = np.bincount(ids, weights=w, minlength=n_seg)
+    cmz = np.bincount(ids, weights=w * mz[pos], minlength=n_seg) / tot
+    cmob = None
+    if mobility is not None:
+        cmob = (
+            np.bincount(ids, weights=w * mobility[pos], minlength=n_seg) / tot
+        ).astype(np.float32)
+    return cmz.astype(np.float32), tot.astype(np.float32), cmob
+
+
 def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
     from lxml import etree
 
@@ -140,6 +181,7 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
             rt = 0.0
             target = lower_off = upper_off = None
             scan_mobility = None
+            is_profile = False
 
             for cv in spec.iter(f"{_NS}cvParam"):
                 acc = cv.get("accession")
@@ -156,6 +198,7 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
                 elif acc == ACC_SCAN_INV_MOB:
                     scan_mobility = float(cv.get("value"))
                 elif acc == ACC_PROFILE:
+                    is_profile = True
                     n_profile += 1
 
             if target is not None:
@@ -180,6 +223,9 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
             if mob is not None and len(mob) != len(mz):
                 mob = None  # malformed array: drop rather than misalign
 
+            if is_profile and len(mz):
+                mz, inten, mob = centroid_profile(mz, inten, mob)
+
             if ms_level == 1:
                 lo = hi = -1.0
             order = np.argsort(mz, kind="stable")
@@ -203,9 +249,9 @@ def read_mzml(path: str | Path, thread_count: int = 4) -> SpectrumData:
             source.close()
 
     if n_profile:
-        logger.warning(
-            f"mzML: {n_profile} profile-mode spectra — centroided input expected; "
-            "peak picking was not applied"
+        logger.info(
+            f"mzML: centroided {n_profile} profile-mode spectra "
+            "(weighted-centroid peak picking)"
         )
 
     n = len(rts)

@@ -20,11 +20,23 @@ def _b64(arr, dtype, compress=True) -> str:
     return base64.b64encode(raw).decode()
 
 
-def write_mzml(path: str | Path, spectra: SpectrumData, compress: bool = True) -> None:
+def write_mzml(
+    path: str | Path,
+    spectra: SpectrumData,
+    compress: bool = True,
+    profile: bool = False,
+) -> None:
+    """``profile=True`` marks every spectrum as profile mode (MS:1000128)
+    — the peaks are written as-is, so pass actual profile traces."""
     comp_acc = (
         '<cvParam accession="MS:1000574" name="zlib compression" value=""/>'
         if compress
         else '<cvParam accession="MS:1000576" name="no compression" value=""/>'
+    )
+    mode_acc = (
+        '<cvParam accession="MS:1000128" name="profile spectrum" value=""/>'
+        if profile
+        else ""
     )
     parts = [
         '<?xml version="1.0" encoding="utf-8"?>\n'
@@ -51,6 +63,7 @@ def write_mzml(path: str | Path, spectra: SpectrumData, compress: bool = True) -
         parts.append(
             f'<spectrum index="{i}" id="scan={i}" defaultArrayLength="{len(mz)}">'
             f'<cvParam accession="MS:1000511" name="ms level" value="{lvl}"/>'
+            f"{mode_acc}"
             "<scanList><scan>"
             f'<cvParam accession="MS:1000016" name="scan start time" value="{rt_min}" unitName="minute"/>'
             "</scan></scanList>"

@@ -40,6 +40,51 @@ def test_mzml_roundtrip(tmp_path, small_spectra, compress):
     assert out2.n_spectra == out.n_spectra
 
 
+def test_profile_mode_centroiding(tmp_path):
+    """Profile-mode mzML is centroided on read: gaussian traces around
+    known m/z values come back as single peaks at the weighted centroid
+    with the summed intensity (truth recovered to ~1e-4 Th)."""
+    from alphadia_tpu.rawdata.mzml import centroid_profile
+    from alphadia_tpu.rawdata.source import SpectrumData
+
+    # build one profile spectrum: 3 gaussian peaks + a zero gap
+    truth_mz = np.array([400.2, 500.5, 500.56], np.float64)
+    truth_int = np.array([1000.0, 800.0, 600.0])
+    grid = np.arange(399.9, 501.0, 0.01)
+    trace = np.zeros_like(grid)
+    for m, h in zip(truth_mz, truth_int):
+        trace += h * np.exp(-0.5 * ((grid - m) / 0.015) ** 2)
+    trace[trace < 1.0] = 0.0
+
+    # direct function: the two overlapping peaks at 500.5/500.56 split at
+    # the valley, the isolated one centroids exactly
+    cmz, cint, _ = centroid_profile(
+        grid.astype(np.float32), trace.astype(np.float32)
+    )
+    assert len(cmz) == 3
+    np.testing.assert_allclose(cmz[0], 400.2, atol=1e-3)
+    np.testing.assert_allclose(cmz[1], 500.5, atol=5e-3)
+    np.testing.assert_allclose(cmz[2], 500.56, atol=5e-3)
+    assert (np.diff(cmz) > 0).all()
+
+    # through the mzML reader (profile cvParam set)
+    spectra = SpectrumData(
+        rt=np.array([10.0], np.float32),
+        ms_level=np.array([1], np.uint8),
+        isolation_lower_mz=np.array([-1.0], np.float32),
+        isolation_upper_mz=np.array([-1.0], np.float32),
+        peak_start_idx=np.array([0], np.int64),
+        peak_stop_idx=np.array([len(grid)], np.int64),
+        mz=grid.astype(np.float32),
+        intensity=trace.astype(np.float32),
+    )
+    p = tmp_path / "profile.mzML"
+    _write_mzml_shared(p, spectra, profile=True)
+    out = read_mzml(p)
+    assert out.peak_stop_idx[0] - out.peak_start_idx[0] == 3
+    np.testing.assert_allclose(out.mz[0], 400.2, atol=1e-3)
+
+
 def test_mzml_gz_roundtrip(tmp_path, small_spectra):
     """Gzipped mzML (.mzML.gz, the common converter output) parses
     identically and dispatches by the double extension, including the

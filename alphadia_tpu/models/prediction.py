@@ -85,10 +85,14 @@ class SimplePrediction(ProcessingStep):
         fragment_types=("b", "y"),
         max_fragment_charge: int = 2,
         model_path: str | None = None,
+        predict_charge: bool = False,
+        min_charge_probability: float = 0.1,
     ):
         self.fragment_types = tuple(fragment_types)
         self.max_fragment_charge = max_fragment_charge
         self.model_path = model_path
+        self.predict_charge = predict_charge
+        self.min_charge_probability = min_charge_probability
 
     def validate(self, input_) -> bool:
         return isinstance(input_, SpecLibBase)
@@ -118,6 +122,51 @@ class SimplePrediction(ProcessingStep):
     def forward(self, lib: SpecLibBase) -> SpecLibBase:
         df = lib.precursor_df
         manager = self._load_manager()
+
+        # charge-state filtering (reference: peptdeep charge prediction,
+        # library_prediction.predict_charge): drop enumerated charges the
+        # model deems improbable, but never drop a peptide entirely — its
+        # most probable enumerated charge always survives (deviation noted
+        # in docs/parity.md; prevents losing peptides outright).
+        if (
+            self.predict_charge
+            and lib.fragment_mz_df is None
+            and manager is not None
+            and "charge" in manager.variables
+        ):
+            from alphadia_tpu.reporting import logger
+
+            probs = manager.predict_charge(
+                df["sequence"].tolist(),
+                df.get("mods", [""] * len(df)).tolist(),
+                df.get("mod_sites", [""] * len(df)).tolist(),
+            )
+            z = df["charge"].to_numpy(np.int32)
+            p_own = probs[
+                np.arange(len(df)), np.clip(z - 1, 0, probs.shape[1] - 1)
+            ]
+            import pandas as pd
+
+            mods = (
+                df["mods"].to_numpy(str)
+                if "mods" in df.columns
+                else np.full(len(df), "", dtype=object)
+            )
+            keys = np.char.add(
+                np.char.add(df["sequence"].to_numpy(str), "|"),
+                mods.astype(str),
+            )
+            best = pd.Series(p_own).groupby(keys).transform("max").to_numpy()
+            keep = (p_own >= self.min_charge_probability) | (p_own >= best)
+            if (~keep).any():
+                logger.info(
+                    f"charge prediction: dropped {int((~keep).sum())}/"
+                    f"{len(df)} improbable charge states "
+                    f"(p < {self.min_charge_probability})"
+                )
+            df = df[keep].reset_index(drop=True)
+            lib.precursor_df = df
+
         if manager is not None and "rt" in manager.variables:
             df["rt_norm"] = manager.predict_rt(
                 df["sequence"].tolist(),

@@ -147,6 +147,8 @@ class SearchStep:
                     fragment_types=tuple(lp["fragment_types"]),
                     max_fragment_charge=lp["max_fragment_charge"],
                     model_path=lp["peptdeep_model_path"],
+                    predict_charge=lp["predict_charge"],
+                    min_charge_probability=lp["min_charge_probability"],
                 )
             )
         harmonize_steps += [IsotopeGenerator(), RTNormalization()]

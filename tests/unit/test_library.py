@@ -147,3 +147,24 @@ def test_hdf_roundtrip(tmp_path, fasta):
     np.testing.assert_allclose(
         lib2.fragment_mz_df.to_numpy(), lib.fragment_mz_df.to_numpy(), rtol=1e-6
     )
+
+
+def test_predict_charge_filters_improbable_states(fasta):
+    """library_prediction.predict_charge: the packaged charge model drops
+    enumerated charge states below min_charge_probability, but every
+    peptide keeps at least its most probable charge."""
+    lib = digest_fasta([fasta], precursor_charge=(1, 4))
+    n_before = len(lib.precursor_df)
+    before_keys = set(
+        lib.precursor_df["sequence"].astype(str)
+        + "|"
+        + lib.precursor_df["mods"].astype(str)
+    )
+    lib = SimplePrediction(predict_charge=True, min_charge_probability=0.3)(lib)
+    df = lib.precursor_df
+    assert 0 < len(df) < n_before, "charge filter should drop some states"
+    after_keys = set(df["sequence"].astype(str) + "|" + df["mods"].astype(str))
+    assert after_keys == before_keys, "no peptide may vanish entirely"
+    # fragment matrices align with the filtered precursor table
+    naa = df["sequence"].str.len().to_numpy()
+    assert len(lib.fragment_mz_df) == int((naa - 1).sum())

@@ -41,6 +41,9 @@ TOLERATED_KEYS = {
     "fdr.two_step_classifier_max_iterations",
     "scoring_config",
     "selection_config",
+    # superseded by the fixed window-bucket grid (utils/device.py
+    # WINDOW_BUCKETS) which already bounds recompiles
+    "tpu.cycle_pad",
 }
 
 

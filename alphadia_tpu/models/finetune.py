@@ -63,7 +63,16 @@ class _Trainer:
         self.lr_patience = cfg.get("lr_patience", 3)
         self.train_fraction = cfg.get("train_fraction", 0.7)
         self.validation_fraction = cfg.get("validation_fraction", 0.2)
+        self.test_fraction = cfg.get("test_fraction", 0.1)
+        self.test_interval = max(int(cfg.get("test_interval", 1)), 1)
         self.nce = cfg.get("nce", 25)
+        self.instrument = cfg.get("instrument", "Lumos")
+        total = self.train_fraction + self.validation_fraction + self.test_fraction
+        if abs(total - 1.0) > 1e-6:
+            logger.warning(
+                f"transfer_learning split fractions sum to {total:.3f}; "
+                "the test split absorbs the remainder after train+val"
+            )
 
     def split(self, n, rng):
         perm = rng.permutation(n)
@@ -78,7 +87,7 @@ class _Trainer:
     def fit(self, model, variables, inputs: tuple, target, loss_fn, rng):
         """Generic mini-batch loop. inputs: tuple of arrays sharing axis 0."""
         n = len(target)
-        train_idx, val_idx, _ = self.split(n, rng)
+        train_idx, val_idx, test_idx = self.split(n, rng)
         if len(train_idx) < 2:
             return variables, {}
         tx = optax.adam(self.max_lr)
@@ -105,6 +114,7 @@ class _Trainer:
         plateau = 0
         lr_scale = 1.0
         history = []
+        test_history = []
         for epoch in range(self.epochs):
             if epoch < self.warmup_epochs:
                 scale = lr_scale * (epoch + 1) / self.warmup_epochs
@@ -124,6 +134,19 @@ class _Trainer:
             else:
                 vloss = 0.0
             history.append(vloss)
+            # held-out test metric every test_interval epochs
+            if len(test_idx) and epoch % self.test_interval == 0:
+                tin = tuple(jnp.asarray(a[test_idx]) for a in inputs)
+                test_history.append(
+                    (
+                        epoch,
+                        float(
+                            eval_loss(
+                                variables, tin, jnp.asarray(target[test_idx])
+                            )
+                        ),
+                    )
+                )
             if vloss < best_val - 1e-6:
                 best_val = vloss
                 best_vars = variables
@@ -135,7 +158,15 @@ class _Trainer:
                     plateau = 0
                 if lr_scale < 1e-2:
                     break
-        return best_vars, {"val_loss": best_val, "history": history}
+        info = {"val_loss": best_val, "history": history}
+        if test_history:
+            info["test_history"] = test_history
+        if len(test_idx):
+            tin = tuple(jnp.asarray(a[test_idx]) for a in inputs)
+            info["test_loss"] = float(
+                eval_loss(best_vars, tin, jnp.asarray(target[test_idx]))
+            )
+        return best_vars, info
 
 
 class FinetuneManager:
@@ -292,7 +323,19 @@ class FinetuneManager:
             k: jax.tree_util.tree_map(np.asarray, v) for k, v in self.variables.items()
         }
         with open(directory / "models.pkl", "wb") as f:
-            pickle.dump({"variables": state, "metrics": self.metrics}, f)
+            pickle.dump(
+                {
+                    "variables": state,
+                    "metrics": self.metrics,
+                    # acquisition context the models were tuned on
+                    # (transfer_learning.nce / .instrument)
+                    "meta": {
+                        "nce": self.trainer.nce,
+                        "instrument": self.trainer.instrument,
+                    },
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, directory: str | Path, config=None) -> "FinetuneManager":
@@ -311,11 +354,14 @@ class FinetuneManager:
         tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
         return np.asarray(RTModel().apply(self.variables["rt"], tokens, mod_mass))
 
-    def predict_ms2(self, sequences, mods, mod_sites, charges) -> np.ndarray:
+    def predict_ms2(
+        self, sequences, mods, mod_sites, charges, nce: float = 25.0
+    ) -> np.ndarray:
         tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
         return np.asarray(
             MS2Model().apply(
-                self.variables["ms2"], tokens, mod_mass, jnp.asarray(charges)
+                self.variables["ms2"], tokens, mod_mass,
+                jnp.asarray(charges), nce,
             )
         )
 

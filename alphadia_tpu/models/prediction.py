@@ -87,12 +87,25 @@ class SimplePrediction(ProcessingStep):
         model_path: str | None = None,
         predict_charge: bool = False,
         min_charge_probability: float = 0.1,
+        nce: float = 25.0,
+        instrument: str = "Lumos",
+        model_type: str = "generic",
     ):
         self.fragment_types = tuple(fragment_types)
         self.max_fragment_charge = max_fragment_charge
         self.model_path = model_path
         self.predict_charge = predict_charge
         self.min_charge_probability = min_charge_probability
+        self.nce = nce
+        self.instrument = instrument
+        if model_type not in ("generic",):
+            from alphadia_tpu.reporting import logger
+
+            logger.warning(
+                f"peptdeep_model_type '{model_type}' is not packaged; "
+                "using 'generic'"
+            )
+        self.model_type = "generic"
 
     def validate(self, input_) -> bool:
         return isinstance(input_, SpecLibBase)
@@ -205,11 +218,20 @@ class SimplePrediction(ProcessingStep):
         if manager is not None and "ms2" in manager.variables:
             from alphadia_tpu.models.property_models import FRAG_COLS, MAX_LEN
 
+            from alphadia_tpu.reporting import logger
+
+            # the packaged MS2 model conditions on NCE; instrument labels
+            # are recorded but the generic model is instrument-agnostic
+            logger.info(
+                f"MS2 prediction: nce={self.nce} instrument={self.instrument} "
+                f"model={self.model_type}"
+            )
             pred = manager.predict_ms2(
                 df["sequence"].tolist(),
                 df.get("mods", [""] * len(df)).tolist(),
                 df.get("mod_sites", [""] * len(df)).tolist(),
                 df["charge"].to_numpy(np.int32),
+                nce=self.nce,
             )  # [n, MAX_LEN-1, len(FRAG_COLS)]
             col_src = [FRAG_COLS.index(c) if c in FRAG_COLS else -1 for c in cols]
             for i, (naa, a, b) in enumerate(

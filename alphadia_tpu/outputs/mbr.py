@@ -56,7 +56,8 @@ class MbrLibraryBuilder:
         keep_eg = set(targets["elution_group_idx"].unique())
         mask = prec["elution_group_idx"].isin(keep_eg).to_numpy()
         if not self.keep_decoys:
-            mask &= (prec["decoy"] == 0).to_numpy()
+            # pandas may hand out a read-only view: no in-place &=
+            mask = mask & (prec["decoy"] == 0).to_numpy()
         lib = subset_flat_library(prec, base_library.fragment_df, mask)
         out = lib.precursor_df
 

@@ -88,16 +88,29 @@ def filter_frag_df(
 # ----------------------------------------------------------------------
 # directLFQ-style estimation
 # ----------------------------------------------------------------------
-def normalize_samples(log_mat: np.ndarray) -> np.ndarray:
+def normalize_samples(
+    log_mat: np.ndarray, num_samples: int | None = None
+) -> np.ndarray:
     """Shift each run (column) so pairwise median differences vanish
-    (anchor = first column with data)."""
+    (anchor = first column with data).
+
+    ``num_samples`` (search_output.num_samples_quadratic) caps how many
+    ions estimate the shifts — the most complete, highest-intensity rows
+    — bounding cost on very large matrices.
+    """
+    est = log_mat
+    if num_samples is not None and len(log_mat) > num_samples:
+        completeness = np.isfinite(log_mat).sum(axis=1).astype(np.float64)
+        completeness += np.nan_to_num(np.nanmean(log_mat, axis=1)) * 1e-6
+        top = np.argsort(completeness, kind="stable")[::-1][:num_samples]
+        est = log_mat[top]
     n_runs = log_mat.shape[1]
     shifts = np.zeros(n_runs)
-    ref = log_mat[:, 0]
+    ref = est[:, 0]
     for j in range(1, n_runs):
-        both = np.isfinite(ref) & np.isfinite(log_mat[:, j])
+        both = np.isfinite(ref) & np.isfinite(est[:, j])
         if both.sum() >= 2:
-            shifts[j] = np.nanmedian(ref[both] - log_mat[both, j])
+            shifts[j] = np.nanmedian(ref[both] - est[both, j])
     return log_mat + shifts[None, :]
 
 
@@ -127,6 +140,7 @@ def direct_lfq(
     run_columns: list[str],
     normalize: bool = True,
     min_nonnan: int = 1,
+    num_samples: int | None = None,
 ) -> pd.DataFrame:
     """Compute per-group LFQ intensities for every run.
 
@@ -134,12 +148,14 @@ def direct_lfq(
     ----------
     intensity_df : wide ion x run frame (NaN = missing)
     group_keys : group id per ion row (precursor hash / peptide hash / pg)
+    num_samples : ion cap for run-shift normalization (see
+        :func:`normalize_samples`)
     """
     mat = intensity_df[run_columns].to_numpy(dtype=np.float64).copy()
     mat[mat <= 0] = np.nan
     log_mat = np.log2(mat)
     if normalize and log_mat.shape[1] > 1:
-        log_mat = normalize_samples(log_mat)
+        log_mat = normalize_samples(log_mat, num_samples=num_samples)
 
     out_rows = []
     keys = group_keys.to_numpy()

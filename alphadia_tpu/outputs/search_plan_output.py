@@ -103,11 +103,12 @@ class SearchPlanOutput:
         from alphadia_tpu.outputs.mbr import MbrLibraryBuilder
 
         try:
-            # decoy siblings are always retained: a flat MBR library cannot
-            # regenerate decoys at load time (see MbrLibraryBuilder note)
+            # keep_decoys_in_mbr_library=false (reference default) drops
+            # decoys here; the consuming SearchStep regenerates flat
+            # decoys at load (library/decoy.py generate_flat_decoys)
             mbr_lib = MbrLibraryBuilder(
                 fdr=self.config["fdr"]["fdr"],
-                keep_decoys=True,
+                keep_decoys=self.config["fdr"]["keep_decoys_in_mbr_library"],
             )(psm_df, base_spec_lib)
             mbr_lib.save_hdf(self.output_folder / "speclib.mbr.hdf")
         except Exception as e:
@@ -231,6 +232,11 @@ class SearchPlanOutput:
         feature_dfs = {k: v[keep_mask] for k, v in feature_dfs.items()}
         run_cols = list(run_frames.keys())
 
+        if self.config["search_output"]["save_fragment_quant_matrix"]:
+            # the filtered ion x runs matrix LFQ consumes (reference:
+            # QuantBuilder's fragment-level output)
+            self._write_matrix(intensity_df, "fragment.matrix", "fragment")
+
         # map precursor_idx -> group keys from the psm table
         key_maps = {}
         for level, key in (
@@ -272,6 +278,9 @@ class SearchPlanOutput:
                     run_cols,
                     normalize=normalize,
                     min_nonnan=eff_min_nonnan,
+                    num_samples=self.config["search_output"][
+                        "num_samples_quadratic"
+                    ],
                 )
             out_name = PG_OUTPUT_NAME if level == QuantLevelName.PROTEIN else f"{level}.matrix"
             self._write_matrix(lfq, out_name, level)

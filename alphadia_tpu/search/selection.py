@@ -67,6 +67,8 @@ class SelectionConfig:
     # device batching
     batch_size: int = 16384
     gather_slab: int = 256
+    # cap on the data-parallel mesh axis (None = all visible devices)
+    mesh_devices: int | None = None
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
 
@@ -191,10 +193,13 @@ class CandidateSelection:
 
     # ------------------------------------------------------------------
     def _mesh(self):
-        """Data-parallel mesh when more than one device is visible."""
+        """Data-parallel mesh when more than one device is visible
+        (``tpu.mesh_devices`` caps the data-parallel axis)."""
         import jax
 
         n = len(jax.devices())
+        if self.config.mesh_devices:
+            n = min(n, int(self.config.mesh_devices))
         if n <= 1 or self.config.batch_size % n:
             return None
         from alphadia_tpu.parallel.mesh import make_mesh

@@ -48,7 +48,6 @@ class SearchStep:
     ):
         self.output_folder = Path(output_folder)
         self.output_folder.mkdir(parents=True, exist_ok=True)
-        init_logging(self.output_folder)
 
         self.config = load_default_config()
         self.config.update_layers(
@@ -57,6 +56,10 @@ class SearchStep:
                 ("cli", cli_config or {}),
                 ("multistep", extra_config or {}),
             ]
+        )
+        init_logging(
+            self.output_folder,
+            log_level=self.config["general"]["log_level"],
         )
         if not self.config["output_directory"]:
             self.config["output_directory"] = str(self.output_folder)
@@ -132,7 +135,12 @@ class SearchStep:
 
         if isinstance(lib, SpecLibFlat):
             logger.info("Flat library loaded as-is")
-            return lib
+            # decoy-free flat input (e.g. an MBR library saved with
+            # fdr.keep_decoys_in_mbr_library=false): regenerate decoys,
+            # matching the reference's regeneration at load
+            from alphadia_tpu.library.decoy import generate_flat_decoys
+
+            return generate_flat_decoys(lib)
 
         # harmonize
         harmonize_steps = [PrecursorInitializer(self.config["library_loading"]["drop_decoys"])]
@@ -149,6 +157,9 @@ class SearchStep:
                     model_path=lp["peptdeep_model_path"],
                     predict_charge=lp["predict_charge"],
                     min_charge_probability=lp["min_charge_probability"],
+                    nce=lp["nce"],
+                    instrument=lp["instrument"],
+                    model_type=lp["peptdeep_model_type"],
                 )
             )
         harmonize_steps += [IsotopeGenerator(), RTNormalization()]

@@ -49,6 +49,7 @@ class ExtractionHandler:
             fwhm_rt=self._om.fwhm_rt,
             batch_size=cfg["tpu"]["selection_batch"],
             gather_slab=cfg["tpu"]["gather_slab"],
+            mesh_devices=cfg["tpu"]["mesh_devices"],
         )
 
     def _scoring_config(self, light_transport: bool = False) -> ScoringConfig:
@@ -66,6 +67,7 @@ class ExtractionHandler:
             experimental_xic=cfg["search"]["experimental_xic"],
             batch_size=cfg["tpu"]["scoring_batch"],
             gather_slab=cfg["tpu"]["gather_slab"],
+            mesh_devices=cfg["tpu"]["mesh_devices"],
             quad_sigma=tuple(self._om.quad_sigma),
             quad_delta_mu=tuple(self._om.quad_delta_mu),
             compute_dtype=_resolve_compute_dtype(cfg["tpu"]["compute_dtype"]),

@@ -72,11 +72,39 @@ def multiplex_candidates(
 
 
 def channel_fdr(
-    psm_df: pd.DataFrame, decoy_channel: int, target_channels: list[int]
+    psm_df: pd.DataFrame,
+    decoy_channel: int,
+    target_channels: list[int],
+    channel_wise: bool = False,
 ) -> pd.DataFrame:
-    """q-values per channel using the decoy channel as the null."""
+    """q-values using the decoy channel as the null.
+
+    ``channel_wise`` (fdr.channel_wise_fdr) estimates q-values separately
+    per target channel (each channel competes against the decoy channel
+    on its own score distribution); otherwise one global estimate.
+    """
     psm_df = psm_df.copy()
     psm_df["_decoy"] = (psm_df["channel"] == decoy_channel).astype(np.float32)
+    if channel_wise:
+        outs = []
+        for c in target_channels:
+            sub = psm_df[psm_df["channel"].isin([c, decoy_channel])].copy()
+            if not len(sub):
+                continue
+            sub = get_q_values(sub, "proba", "_decoy")
+            sub = keep_best(
+                sub, group_columns=["channel", "elution_group_idx"]
+            )
+            sub = get_q_values(sub, "proba", "_decoy")
+            outs.append(sub[sub["channel"] == c])
+        dec = psm_df[psm_df["channel"] == decoy_channel].copy()
+        if len(dec):
+            dec = keep_best(
+                dec, group_columns=["channel", "elution_group_idx"]
+            )
+            dec["qval"] = 1.0  # decoy rows are the null, not discoveries
+            outs.append(dec)
+        return pd.concat(outs, ignore_index=True) if outs else psm_df.iloc[:0]
     psm_df = get_q_values(psm_df, "proba", "_decoy")
     psm_df = keep_best(psm_df, group_columns=["channel", "elution_group_idx"])
     psm_df = get_q_values(psm_df, "proba", "_decoy")
@@ -134,7 +162,12 @@ class MultiplexingHandler:
             lib,
         )
         scored = self._fdr_manager.predict(features_df)
-        out = channel_fdr(scored, decoy_channel, target_channels)
+        out = channel_fdr(
+            scored,
+            decoy_channel,
+            target_channels,
+            channel_wise=self._config["fdr"]["channel_wise_fdr"],
+        )
         logger.log(
             25,
             f"multiplexing requant: {len(out)} channel PSMs "

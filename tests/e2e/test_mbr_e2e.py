@@ -51,11 +51,18 @@ def test_mbr_multistep(tmp_path):
 
     lib_dir = tmp_path / "out" / "library"
     assert (lib_dir / "speclib.mbr.hdf").exists()
-    # MBR library keeps target AND decoy siblings
+    # reference default (fdr.keep_decoys_in_mbr_library=false): the saved
+    # MBR library is decoy-free; the consuming step regenerates flat
+    # decoys at load (library/decoy.py generate_flat_decoys)
     mbr = SpecLibFlat.load_hdf(lib_dir / "speclib.mbr.hdf")
-    assert set(mbr.precursor_df["decoy"].unique()) == {0, 1}
+    assert set(mbr.precursor_df["decoy"].unique()) == {0}
+    from alphadia_tpu.library.decoy import generate_flat_decoys
 
-    # final MBR pass produced output from the focused library
+    regen = generate_flat_decoys(mbr)
+    assert set(regen.precursor_df["decoy"].unique()) == {0, 1}
+
+    # final MBR pass produced output from the focused library: the second
+    # step searched a regenerated-decoy library and still controlled FDR
     final_psm = pd.read_parquet(tmp_path / "out" / "precursors.parquet")
     assert len(final_psm) > 50
     assert (final_psm["precursor.qval"] <= 0.01).all()

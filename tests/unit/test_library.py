@@ -168,3 +168,47 @@ def test_predict_charge_filters_improbable_states(fasta):
     # fragment matrices align with the filtered precursor table
     naa = df["sequence"].str.len().to_numpy()
     assert len(lib.fragment_mz_df) == int((naa - 1).sum())
+
+
+def test_generate_flat_decoys(fasta):
+    """Flat decoy generation: mutated sequences, recomputed fragment m/z
+    matching an independently built hierarchical decoy library."""
+    from alphadia_tpu.library import chem
+    from alphadia_tpu.library.decoy import generate_flat_decoys
+
+    lib = digest_fasta([fasta])
+    lib = PrecursorInitializer()(lib)
+    lib = SimplePrediction()(lib)
+    flat_targets = InitFlatColumns()(FlattenLibrary()(lib.copy()))
+    n_t = len(flat_targets.precursor_df)
+
+    out = generate_flat_decoys(flat_targets)
+    df = out.precursor_df
+    assert len(df) == 2 * n_t
+    assert (df["decoy"] == 1).sum() == n_t
+    # every decoy shares its target's elution group (FDR competition)
+    eg_t = set(df.loc[df["decoy"] == 0, "elution_group_idx"])
+    eg_d = set(df.loc[df["decoy"] == 1, "elution_group_idx"])
+    assert eg_t == eg_d
+
+    # fragment m/z of each decoy row equals the chem ladder of the mutated
+    # sequence at that row's (type, position, charge)
+    frag = out.fragment_df
+    checked = 0
+    for _, r in df[df["decoy"] == 1].head(10).iterrows():
+        lad = chem.fragment_mz_arrays(
+            r["sequence"], r.get("mods", ""), str(r.get("mod_sites", "")),
+            max_charge=2, types=("b", "y"),
+        )
+        for fi in range(int(r["flat_frag_start_idx"]), int(r["flat_frag_stop_idx"])):
+            row = frag.iloc[fi]
+            expect = lad[f"{chr(int(row['type']))}_z{int(row['charge'])}"][
+                int(row["position"])
+            ]
+            np.testing.assert_allclose(row["mz_library"], expect, rtol=1e-6)
+            checked += 1
+    assert checked > 10
+
+    # idempotent: decoys present -> returned unchanged
+    again = generate_flat_decoys(out)
+    assert len(again.precursor_df) == len(df)

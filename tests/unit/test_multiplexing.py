@@ -74,3 +74,37 @@ def test_channel_fdr():
     assert {"qval"} <= set(out.columns)
     good = out[(out["qval"] <= 0.05) & (out["channel"] != 12)]
     assert len(good) > n  # both target channels mostly pass
+
+
+def test_channel_fdr_channel_wise():
+    """fdr.channel_wise_fdr: q-values estimated per target channel; a
+    channel with degraded scores gets worse q-values than the clean one
+    instead of borrowing its statistics."""
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(400):
+        for channel in (4, 8, 12):
+            if channel == 12:
+                proba = rng.uniform(0.3, 1.0)  # decoy channel
+            elif channel == 4:
+                proba = rng.uniform(0.0, 0.3)  # clean channel
+            else:
+                proba = rng.uniform(0.2, 0.9)  # degraded channel
+            rows.append(
+                {
+                    "elution_group_idx": i,
+                    "channel": channel,
+                    "precursor_idx": i * 10 + channel,
+                    "proba": proba,
+                }
+            )
+    psm = pd.DataFrame(rows)
+    out = channel_fdr(
+        psm, decoy_channel=12, target_channels=[4, 8], channel_wise=True
+    )
+    q4 = out.loc[out["channel"] == 4, "qval"]
+    q8 = out.loc[out["channel"] == 8, "qval"]
+    assert (q4 <= 0.05).mean() > 0.8
+    assert q8.median() > q4.median()
+    # decoy rows are the null, never discoveries
+    assert (out.loc[out["channel"] == 12, "qval"] == 1.0).all()

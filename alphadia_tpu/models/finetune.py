@@ -15,6 +15,7 @@ Models here are the self-contained flax models of models/property_models.py
 from __future__ import annotations
 
 import pickle
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -350,23 +351,56 @@ class FinetuneManager:
         return obj
 
     # ------------------------------------------------------------------
+    # inference is chunked to a fixed batch shape so proteome-scale
+    # libraries (millions of precursors) neither blow memory with one
+    # giant apply nor compile a fresh graph per library size: at most two
+    # executables per model (the fixed chunk + one small-input shape)
+    PREDICT_BATCH = 8192
+
+    def _batched(self, fn, *arrays) -> np.ndarray:
+        n = len(arrays[0])
+        B = self.PREDICT_BATCH
+        if n <= B:
+            return np.asarray(fn(*arrays))
+        outs = []
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            chunk = [a[s:e] for a in arrays]
+            if e - s < B:  # pad the tail to keep the compiled shape
+                pad = B - (e - s)
+                chunk = [
+                    np.concatenate([c, np.repeat(c[-1:], pad, axis=0)])
+                    for c in chunk
+                ]
+            outs.append(np.asarray(fn(*chunk))[: e - s])
+        return np.concatenate(outs)
+
     def predict_rt(self, sequences, mods=None, mod_sites=None) -> np.ndarray:
         tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
-        return np.asarray(RTModel().apply(self.variables["rt"], tokens, mod_mass))
+        fn = jax.jit(partial(RTModel().apply, self.variables["rt"]))
+        return self._batched(fn, tokens, mod_mass)
 
     def predict_ms2(
         self, sequences, mods, mod_sites, charges, nce: float = 25.0
     ) -> np.ndarray:
         tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
-        return np.asarray(
-            MS2Model().apply(
-                self.variables["ms2"], tokens, mod_mass,
-                jnp.asarray(charges), nce,
+        fn = jax.jit(
+            lambda t, m, c: MS2Model().apply(
+                self.variables["ms2"], t, m, c, nce
             )
         )
+        return self._batched(fn, tokens, mod_mass, np.asarray(charges))
 
     def predict_charge(self, sequences, mods=None, mod_sites=None) -> np.ndarray:
         tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
-        return np.asarray(
-            ChargeModel().apply(self.variables["charge"], tokens, mod_mass)
-        )
+        fn = jax.jit(partial(ChargeModel().apply, self.variables["charge"]))
+        return self._batched(fn, tokens, mod_mass)
+
+    def predict_mobility(
+        self, sequences, mods, mod_sites, charges
+    ) -> np.ndarray:
+        from alphadia_tpu.models.property_models import MobilityModel
+
+        tokens, mod_mass = encode_sequences(sequences, mods, mod_sites)
+        fn = jax.jit(partial(MobilityModel().apply, self.variables["ccs"]))
+        return self._batched(fn, tokens, mod_mass, np.asarray(charges))

@@ -189,23 +189,11 @@ class SimplePrediction(ProcessingStep):
         else:
             df["rt_norm"] = predict_rt_norm(df["sequence"].tolist())
         if manager is not None and "ccs" in manager.variables:
-            import jax.numpy as jnp
-
-            from alphadia_tpu.models.property_models import (
-                MobilityModel,
-                encode_sequences,
-            )
-
-            tokens, mod_mass = encode_sequences(
+            df["mobility"] = manager.predict_mobility(
                 df["sequence"].tolist(),
                 df.get("mods", [""] * len(df)).tolist(),
                 df.get("mod_sites", [""] * len(df)).tolist(),
-            )
-            df["mobility"] = np.asarray(
-                MobilityModel().apply(
-                    manager.variables["ccs"], tokens, mod_mass,
-                    jnp.asarray(df["charge"].to_numpy(np.int32)),
-                )
+                df["charge"].to_numpy(np.int32),
             ).astype(np.float32)
         elif "mobility" not in df.columns:
             df["mobility"] = np.float32(0)
@@ -234,13 +222,23 @@ class SimplePrediction(ProcessingStep):
                 nce=self.nce,
             )  # [n, MAX_LEN-1, len(FRAG_COLS)]
             col_src = [FRAG_COLS.index(c) if c in FRAG_COLS else -1 for c in cols]
-            for i, (naa, a, b) in enumerate(
-                zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"])
-            ):
-                n_sites = min(int(naa) - 1, MAX_LEN - 1, b - a)
-                for j, src in enumerate(col_src):
-                    if src >= 0:
-                        inten[a : a + n_sites, j] = pred[i, :n_sites, src]
+            # vectorized scatter of pred[i, :n_sites] into the fragment
+            # rows of each precursor (a python loop here is minutes at
+            # proteome scale)
+            naa_arr = df["nAA"].to_numpy(np.int64)
+            a_arr = df["frag_start_idx"].to_numpy(np.int64)
+            b_arr = df["frag_stop_idx"].to_numpy(np.int64)
+            ns = np.minimum(np.minimum(naa_arr - 1, MAX_LEN - 1), b_arr - a_arr)
+            ns = np.maximum(ns, 0)
+            prec_of = np.repeat(np.arange(len(df)), ns)
+            # per-precursor site offsets 0..ns[i]-1, flattened
+            cum = np.zeros(len(df) + 1, np.int64)
+            np.cumsum(ns, out=cum[1:])
+            off = np.arange(int(cum[-1])) - np.repeat(cum[:-1], ns)
+            rowpos = a_arr[prec_of] + off
+            for j, src in enumerate(col_src):
+                if src >= 0:
+                    inten[rowpos, j] = pred[prec_of, off, src]
         else:
             for naa, a, b in zip(df["nAA"], df["frag_start_idx"], df["frag_stop_idx"]):
                 inten[a:b] = predict_ms2_prior(int(naa), len(cols), cols)

@@ -73,3 +73,35 @@ def test_packaged_models_load_and_beat_heuristic():
 
     assert r2(truth, model_pred) > r2(truth, heur_pred) + 0.1
     assert r2(truth, model_pred) > 0.9
+
+
+def test_batched_prediction_equals_unbatched():
+    """Chunked fixed-shape inference (FinetuneManager._batched) must give
+    identical results to one whole-input apply."""
+    import numpy as np
+
+    from alphadia_tpu.models.finetune import FinetuneManager
+
+    mgr = FinetuneManager.load(
+        "alphadia_tpu/constants/weights/peptdeep_default"
+    )
+    rng = np.random.default_rng(5)
+    aas = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    seqs = [
+        "".join(rng.choice(aas, rng.integers(7, 25))) + "K" for _ in range(50)
+    ]
+    charges = rng.integers(2, 4, len(seqs))
+
+    full_rt = mgr.predict_rt(seqs)
+    full_ms2 = mgr.predict_ms2(seqs, None, None, charges)
+    mgr_small = FinetuneManager.load(
+        "alphadia_tpu/constants/weights/peptdeep_default"
+    )
+    mgr_small.PREDICT_BATCH = 16  # force chunking + tail padding
+    np.testing.assert_allclose(mgr_small.predict_rt(seqs), full_rt, rtol=1e-5)
+    np.testing.assert_allclose(
+        mgr_small.predict_ms2(seqs, None, None, charges), full_ms2, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        mgr_small.predict_charge(seqs), mgr.predict_charge(seqs), rtol=1e-5
+    )

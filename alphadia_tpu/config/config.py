@@ -44,6 +44,10 @@ TOLERATED_KEYS = {
     # superseded by the fixed window-bucket grid (utils/device.py
     # WINDOW_BUCKETS) which already bounds recompiles
     "tpu.cycle_pad",
+    # reference-engine knobs without a TPU-build equivalent: device
+    # selection is the JAX platform, and there is one extraction backend
+    "general.use_gpu",
+    "search.extraction_backend",
 }
 
 

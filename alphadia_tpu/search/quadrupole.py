@@ -42,6 +42,7 @@ def fit_quadrupole_params(
     n_iter: int = 50,
     min_sigma: float = 0.02,
     max_sigma: float = 10.0,
+    max_delta: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Least-squares fit of (sigma1, sigma2, delta_mu1, delta_mu2).
 
@@ -83,6 +84,11 @@ def fit_quadrupole_params(
         p_new = p + step
         p_new[0] = np.clip(p_new[0], min_sigma, max_sigma)
         p_new[1] = np.clip(p_new[1], min_sigma, max_sigma)
+        # physical quadrupole edge offsets are sub-Th; an unbounded
+        # delta_mu drifts on sparse/ill-conditioned observation sets
+        # (seen at several Th on synthetic hard-edged windows)
+        p_new[2] = np.clip(p_new[2], -max_delta, max_delta)
+        p_new[3] = np.clip(p_new[3], -max_delta, max_delta)
         r_new = resid(p_new)
         cost_new = float(r_new @ r_new)
         if cost_new < cost:

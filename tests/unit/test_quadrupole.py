@@ -153,3 +153,18 @@ def test_recalibration_handler_updates_quad_params():
     handler.recalibrate(psm, frag)
     assert om.quad_sigma != (0.2, 0.2)  # fit ran and moved the params
     assert 0.2 < om.quad_sigma[0] < 2.0
+
+
+def test_delta_mu_bounded():
+    """Ill-conditioned observation sets (hard-edged synthetic windows, few
+    overlap samples) must not drift delta_mu to unphysical offsets."""
+    rng = np.random.default_rng(9)
+    n = 60
+    lo = np.full(n, 500.0)
+    hi = np.full(n, 510.0)
+    # degenerate y: all ~1 regardless of x (no edge information at all)
+    x = rng.uniform(500.5, 509.5, n)
+    y = np.ones(n)
+    sigma, delta = fit_quadrupole_params(lo, hi, x, y)
+    assert np.all(np.abs(delta) <= 1.0 + 1e-9), delta
+    assert np.all((sigma >= 0.02) & (sigma <= 10.0)), sigma

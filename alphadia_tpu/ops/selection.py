@@ -57,6 +57,7 @@ from alphadia_tpu.ops.xic_pallas import extract_xic_pallas
         "join_cycle_threshold",
         "peak_cycle_tolerance",
         "use_pallas",
+        "cycle_stride",
     ),
 )
 def select_candidates_batch(
@@ -92,6 +93,7 @@ def select_candidates_batch(
     join_cycle_threshold: float = 0.6,
     peak_cycle_tolerance: int = 3,
     use_pallas: bool = False,
+    cycle_stride: int = 1,
 ):
     # wire decode: the driver may upload i16 slot/index arrays to halve
     # tunnel bytes; cast back (free under jit)
@@ -113,13 +115,17 @@ def select_candidates_batch(
     )
 
     if use_pallas:
+        # the packed store carries FINE per-peak cycles; a coarse view
+        # (cycle_stride > 1) divides them onto merged cells in-kernel
         dense_frag = extract_xic_pallas(
             peak_packed, cell_start, frag_slot, frag_mz,
-            fragment_tol_ppm, cycle_start, **xic_kw,
+            fragment_tol_ppm, cycle_start, cycle_stride=cycle_stride,
+            **xic_kw,
         )  # [B, QF, W]
         dense_iso = extract_xic_pallas(
             peak_packed, cell_start, iso_slot, iso_mz,
-            precursor_tol_ppm, cycle_start, **xic_kw,
+            precursor_tol_ppm, cycle_start, cycle_stride=cycle_stride,
+            **xic_kw,
         )  # [B, QI, W]
     else:
         dense_frag = extract_xic(
@@ -198,6 +204,7 @@ def select_candidates_batch(
         "join_cycle_threshold",
         "peak_cycle_tolerance",
         "use_pallas",
+        "cycle_stride",
     ),
 )
 def select_candidates_batch_sliced(

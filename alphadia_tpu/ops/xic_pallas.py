@@ -92,6 +92,7 @@ def _xic_kernel(
     R: int,
     n_rows: int,
     with_mz: bool,
+    cycle_stride: int = 1,
 ):
     def row0_of(q):
         return jnp.minimum(jnp.maximum(r_ref[q, 0], 0) // LANE, n_rows - R)
@@ -139,7 +140,12 @@ def _xic_kernel(
         # relayout (the naive [R, 128, W] one-hot moves the 128-lane axis
         # onto sublanes, a per-query transpose that dominated the kernel).
         # cycle rides as f32 in the packed store (exact for < 2^24);
-        # converts to i32 here because mosaic rejects f32 iota.
+        # converts to i32 here because mosaic rejects f32 iota. A coarse
+        # view (cycle_stride > 1, a power of two) maps fine per-peak
+        # cycles onto merged cells: f32 multiply by the exact reciprocal
+        # + floor (exact for pow2 strides); padding cycles (-1) stay < 0.
+        if cycle_stride > 1:
+            cyc = jnp.floor(cyc * (1.0 / cycle_stride))
         w_rel = cyc.astype(jnp.int32) - c0  # [R, 128]
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
         acc_i = jnp.zeros((W, LANE), jnp.float32)
@@ -173,7 +179,10 @@ def _xic_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cycles", "n_bins", "slab", "window_len", "with_mz", "interpret"),
+    static_argnames=(
+        "n_cycles", "n_bins", "slab", "window_len", "with_mz", "interpret",
+        "cycle_stride",
+    ),
 )
 def extract_xic_pallas(
     peak_packed: jax.Array,  # f32[NR, 4, 128]
@@ -191,7 +200,9 @@ def extract_xic_pallas(
     window_len: int = 64,
     with_mz: bool = False,
     interpret: bool = False,
+    cycle_stride: int = 1,
 ):
+    assert cycle_stride & (cycle_stride - 1) == 0, "stride must be pow2"
     B, Q = slot_idx.shape
     W = window_len
     n_slots = cell_start.shape[0]
@@ -236,7 +247,10 @@ def extract_xic_pallas(
 
     grid = (BQ_pad // QT,)
     out_int, out_dmz = pl.pallas_call(
-        functools.partial(_xic_kernel, W=W, R=R, n_rows=n_rows, with_mz=with_mz),
+        functools.partial(
+            _xic_kernel, W=W, R=R, n_rows=n_rows, with_mz=with_mz,
+            cycle_stride=cycle_stride,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((QT, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),

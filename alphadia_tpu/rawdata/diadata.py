@@ -72,6 +72,7 @@ class DiaData:
     quad_max_mz: float = 0.0  # highest MS2 isolation upper bound
 
     _device: dict | None = None
+    _device_coarse: dict | None = None
 
     # =====================================================================
     @classmethod
@@ -338,8 +339,38 @@ class DiaData:
         return np.nonzero((lo >= 0) & (lo <= mz) & (mz < hi))[0].astype(np.int32)
 
     # ------------------------------------------------------------------
-    def device_arrays(self) -> dict:
-        """Upload (once) and return the arrays consumed by the JAX kernels."""
+    def device_arrays(self, stride: int = 1) -> dict:
+        """Upload (once) and return the arrays consumed by the JAX kernels.
+
+        ``stride`` > 1 returns a cycle-coarsened VIEW of the same peak
+        store: because cycle is the minor index dimension before m/z, the
+        peaks of ``stride`` adjacent cycles are already contiguous per
+        (slot, bin), so coarsening is just a strided ``cell_start`` — the
+        big peak arrays are shared with the fine view (no re-upload). Wide
+        pre-calibration selection windows use this to cut XIC work by
+        ``stride`` at full signal fidelity (cells sum, not subsample).
+        """
+        if stride > 1:
+            if self._device_coarse is None:
+                self._device_coarse = {}
+            if stride not in self._device_coarse:
+                import jax.numpy as jnp
+
+                base = self.device_arrays()
+                n_k = -(-self.n_cycles // stride)  # ceil
+                # boundary c' -> fine boundary min(stride*c', n_cycles)
+                b_idx = np.minimum(
+                    np.arange(n_k + 1, dtype=np.int64) * stride, self.n_cycles
+                )
+                cs_k = self.cell_start[:, :, b_idx]
+                d = dict(base)
+                d["cell_start"] = jnp.asarray(np.ascontiguousarray(cs_k))
+                d["cycle_rt"] = jnp.asarray(
+                    np.ascontiguousarray(self.cycle_rt[::stride])
+                )
+                d["n_cycles"] = n_k
+                self._device_coarse[stride] = d
+            return self._device_coarse[stride]
         if self._device is None:
             import jax.numpy as jnp
 
@@ -380,3 +411,4 @@ class DiaData:
 
     def free_device(self) -> None:
         self._device = None
+        self._device_coarse = None

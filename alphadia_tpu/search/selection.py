@@ -64,6 +64,9 @@ class SelectionConfig:
     peak_cycle_tolerance: int = 3
     # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
     use_pallas: bool = True
+    # merge adjacent cycles when the RT window exceeds 512 cycles
+    # (pre-calibration searches): k x less XIC work, full signal (sums)
+    coarsen_wide_windows: bool = True
     # device batching
     batch_size: int = 16384
     gather_slab: int = 256
@@ -217,15 +220,48 @@ class CandidateSelection:
         arrays = self._prepare_batch_arrays()
         W = arrays["window_len"]
 
-        sigma = rt_kernel_sigma(cfg.fwhm_rt, cfg.sigma_scale_rt, dia.cycle_time)
+        # wide-window coarsening: pre-calibration RT tolerances produce
+        # W > 512 cycle windows; merging `stride` adjacent cycles per cell
+        # cuts XIC work by `stride` at full signal fidelity (cells sum,
+        # not subsample — the peak store is shared, only a strided cell
+        # index uploads; see DiaData.device_arrays). Peak positions and
+        # extents map back to fine cycles below; scoring then re-extracts
+        # candidates at full resolution, so features are unaffected.
+        stride = 1
+        if cfg.coarsen_wide_windows:
+            while W // stride > 512:
+                stride *= 2
+        n_cycles_dev = dia.n_cycles
+        if stride > 1:
+            dev = dia.device_arrays(stride)
+            n_cycles_dev = dev["n_cycles"]
+            W = bucket_window(
+                max(-(-arrays["window_len"] // stride), 32, cfg.kernel_size)
+            )
+            arrays["cycle_start"] = np.clip(
+                arrays["cycle_start"] // stride, 0, max(n_cycles_dev - W, 0)
+            ).astype(np.int32)
+            logger.info(
+                f"selection: coarsened {arrays['window_len']}-cycle window "
+                f"to {W} (stride {stride})"
+            )
+        else:
+            dev = dia.device_arrays()
+
+        sigma = rt_kernel_sigma(
+            cfg.fwhm_rt, cfg.sigma_scale_rt, dia.cycle_time * stride
+        )
         kernel = gaussian_kernel_1d(cfg.kernel_size, sigma)
 
-        dev = dia.device_arrays()
         mesh = self._mesh()
         use_4d = bool(dia.has_mobility) and dia.n_scan_bins > 1
+        # size/tolerance knobs are in cycle units: scale to coarse cells
+        min_rt_k = max(1, cfg.min_size_rt // stride)
+        max_rt_k = max(min_rt_k + 1, -(-cfg.max_size_rt // stride))
+        tol_k = max(1, cfg.peak_cycle_tolerance // stride)
         if use_4d:
             static_kw = dict(
-                n_cycles=dia.n_cycles,
+                n_cycles=n_cycles_dev,
                 n_bins=dia.n_bins,
                 bin_mz_min=dia.bin_mz_min,
                 bin_width=dia.coarse_bin_width,
@@ -234,18 +270,18 @@ class CandidateSelection:
                 window_len=W,
                 kernel_size=cfg.kernel_size,
                 candidate_count=cfg.candidate_count,
-                min_size_rt=cfg.min_size_rt,
-                max_size_rt=cfg.max_size_rt,
+                min_size_rt=min_rt_k,
+                max_size_rt=max_rt_k,
                 min_size_mobility=cfg.min_size_mobility,
                 max_size_mobility=cfg.max_size_mobility,
                 f_rt=cfg.f_rt,
                 f_mobility=cfg.f_mobility,
                 center_fraction=cfg.center_fraction,
-                peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+                peak_cycle_tolerance=tol_k,
             )
         else:
             static_kw = dict(
-                n_cycles=dia.n_cycles,
+                n_cycles=n_cycles_dev,
                 n_bins=dia.n_bins,
                 bin_mz_min=dia.bin_mz_min,
                 bin_width=dia.coarse_bin_width,
@@ -253,14 +289,15 @@ class CandidateSelection:
                 window_len=W,
                 kernel_size=cfg.kernel_size,
                 candidate_count=cfg.candidate_count,
-                min_size_rt=cfg.min_size_rt,
-                max_size_rt=cfg.max_size_rt,
+                min_size_rt=min_rt_k,
+                max_size_rt=max_rt_k,
                 f_rt=cfg.f_rt,
                 center_fraction=cfg.center_fraction,
                 join_close_candidates=cfg.join_close_candidates,
                 join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
-                peak_cycle_tolerance=cfg.peak_cycle_tolerance,
+                peak_cycle_tolerance=tol_k,
                 use_pallas=_pallas_available() and cfg.use_pallas,
+                cycle_stride=stride,
             )
 
         cap = cfg.batch_size
@@ -452,9 +489,18 @@ class CandidateSelection:
                         "scan_start": scan_start,
                         "scan_center": scan_center,
                         "scan_stop": scan_stop,
-                        "frame_start": result["cycle_start"][rows, cands].astype(np.int64),
-                        "frame_center": result["cycle_center"][rows, cands].astype(np.int64),
-                        "frame_stop": result["cycle_stop"][rows, cands].astype(np.int64),
+                        # coarse cells map back to fine cycles (stride=1
+                        # is the identity)
+                        "frame_start": result["cycle_start"][rows, cands].astype(np.int64) * stride,
+                        "frame_center": np.minimum(
+                            result["cycle_center"][rows, cands].astype(np.int64) * stride
+                            + stride // 2,
+                            self.dia.n_cycles - 1,
+                        ),
+                        "frame_stop": np.minimum(
+                            result["cycle_stop"][rows, cands].astype(np.int64) * stride,
+                            self.dia.n_cycles,
+                        ),
                     }
                 )
             )

@@ -50,6 +50,7 @@ class ExtractionHandler:
             batch_size=cfg["tpu"]["selection_batch"],
             gather_slab=cfg["tpu"]["gather_slab"],
             mesh_devices=cfg["tpu"]["mesh_devices"],
+            coarsen_wide_windows=cfg["tpu"]["coarsen_wide_windows"],
         )
 
     def _scoring_config(self, light_transport: bool = False) -> ScoringConfig:

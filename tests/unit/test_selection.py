@@ -56,3 +56,54 @@ def test_selection_rank_and_validity(synth):
         assert sorted(grp["rank"].tolist()) == list(range(len(grp)))
     # batches with padding should not leak phantom precursors
     assert set(cands["precursor_idx"]).issubset(set(prec["precursor_idx"]))
+
+
+def test_wide_window_coarsening_matches_fine():
+    """Wide-window selection on the cycle-coarsened store (stride k, full
+    signal kept) finds the same detectable precursors with apexes within
+    ~stride cycles of the fine path, and extents map back covering them."""
+    import numpy as np
+
+    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.search.selection import CandidateSelection, SelectionConfig
+    from alphadia_tpu.testing.synthetic import SyntheticConfig, make_synthetic_dia
+
+    spectra, prec, frag = make_synthetic_dia(
+        SyntheticConfig(n_peptides=80, n_windows=4, n_cycles=1400,
+                        noise_peaks_per_spectrum=20, seed=12)
+    )
+    dia = DiaData.from_spectra(spectra)
+    # rt tolerance wide enough for W > 512 -> stride engages
+    wide = dia.cycle_time * 600
+    base = dict(rt_tolerance=wide, candidate_count=2, batch_size=128)
+
+    fine = CandidateSelection(
+        dia, prec, frag,
+        SelectionConfig(coarsen_wide_windows=False, **base),
+    )()
+    coarse = CandidateSelection(
+        dia, prec, frag,
+        SelectionConfig(coarsen_wide_windows=True, **base),
+    )()
+
+    f_best = fine.sort_values("score", ascending=False).drop_duplicates("precursor_idx")
+    c_best = coarse.sort_values("score", ascending=False).drop_duplicates("precursor_idx")
+    truth = prec.set_index("precursor_idx")
+    det = truth[truth["_truth_detectable"]].index
+
+    hits_f = f_best[f_best["precursor_idx"].isin(det)]
+    hits_c = c_best[c_best["precursor_idx"].isin(det)]
+    # coarse finds (nearly) as many detectable precursors
+    assert len(hits_c) >= 0.95 * len(hits_f), (len(hits_c), len(hits_f))
+
+    # apexes agree within the coarsening granularity
+    m = hits_f.merge(hits_c, on="precursor_idx", suffixes=("_f", "_c"))
+    stride = 2
+    while 2 * 600 // stride > 512:
+        stride *= 2
+    delta = (m["frame_center_f"] - m["frame_center_c"]).abs()
+    assert delta.median() <= stride, delta.median()
+    # mapped-back extents contain the coarse apex
+    assert (m["frame_start_c"] <= m["frame_center_c"]).all()
+    assert (m["frame_stop_c"] > m["frame_center_c"]).all()
+    assert (coarse["frame_stop"] <= dia.n_cycles).all()

@@ -94,22 +94,53 @@ class _Trainer:
         tx = optax.adam(self.max_lr)
         opt_state = tx.init(variables)
 
+        # Epoch-level control flow (warmup, plateau LR halving, early
+        # stop, best-snapshot) is data-dependent and stays host-side; the
+        # inner batch loop runs as ONE lax.scan per epoch over an index
+        # matrix, with all arrays uploaded to the device once.  The
+        # per-batch Python loop it replaces cost a dispatch round trip
+        # (~24 ms through the remote-TPU tunnel) plus a fresh gathered
+        # upload per step.
         @jax.jit
-        def step(params, opt_state, batch_in, batch_t, lr_scale):
-            def loss(p):
-                pred = model.apply(p, *batch_in)
-                return loss_fn(pred, batch_t)
+        def train_epoch(params, opt_state, ins, tgt, idx_mat, lr_scale):
+            def one(carry, idx):
+                p, o = carry
 
-            val, grads = jax.value_and_grad(loss)(params)
-            grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
-            updates, new_opt = tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), new_opt, val
+                def do(_):
+                    batch_in = tuple(jnp.take(a, idx, axis=0) for a in ins)
+                    batch_t = jnp.take(tgt, idx, axis=0)
+
+                    def loss(q):
+                        return loss_fn(model.apply(q, *batch_in), batch_t)
+
+                    _, grads = jax.value_and_grad(loss)(p)
+                    grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
+                    updates, new_opt = tx.update(grads, o)
+                    return optax.apply_updates(p, updates), new_opt
+
+                # idx[0] < 0 marks a padded step (step counts are bucketed
+                # to powers of two so compiled variants stay few)
+                p2, o2 = jax.lax.cond(idx[0] >= 0, do, lambda _: (p, o), None)
+                return (p2, o2), jnp.float32(0.0)
+
+            (params, opt_state), _ = jax.lax.scan(one, (params, opt_state), idx_mat)
+            return params, opt_state
 
         @jax.jit
         def eval_loss(params, batch_in, batch_t):
             return loss_fn(model.apply(params, *batch_in), batch_t)
 
+        dev_in = tuple(jnp.asarray(a) for a in inputs)
+        dev_t = jnp.asarray(target)
+        # held-out splits upload once, not once per epoch
+        vin = tuple(jnp.asarray(a[val_idx]) for a in inputs) if len(val_idx) else None
+        vt = jnp.asarray(target[val_idx]) if len(val_idx) else None
+        tin = tuple(jnp.asarray(a[test_idx]) for a in inputs) if len(test_idx) else None
+        tt = jnp.asarray(target[test_idx]) if len(test_idx) else None
+
         bs = min(self.batch_size, len(train_idx))
+        nb = max(len(train_idx) // bs, 1)
+        nb_pad = 1 << int(np.ceil(np.log2(nb)))
         best_val = np.inf
         best_vars = variables
         plateau = 0
@@ -122,32 +153,18 @@ class _Trainer:
             else:
                 scale = lr_scale
             order = rng.permutation(len(train_idx))
-            for s in range(0, len(order) - bs + 1, bs):
-                idx = train_idx[order[s : s + bs]]
-                batch_in = tuple(jnp.asarray(a[idx]) for a in inputs)
-                batch_t = jnp.asarray(target[idx])
-                variables, opt_state, _ = step(
-                    variables, opt_state, batch_in, batch_t, scale
-                )
-            if len(val_idx):
-                vin = tuple(jnp.asarray(a[val_idx]) for a in inputs)
-                vloss = float(eval_loss(variables, vin, jnp.asarray(target[val_idx])))
-            else:
-                vloss = 0.0
+            idx_mat = np.full((nb_pad, bs), -1, np.int32)
+            for b in range(nb):
+                idx_mat[b] = train_idx[order[b * bs : (b + 1) * bs]]
+            variables, opt_state = train_epoch(
+                variables, opt_state, dev_in, dev_t,
+                jnp.asarray(idx_mat), jnp.float32(scale),
+            )
+            vloss = float(eval_loss(variables, vin, vt)) if vin is not None else 0.0
             history.append(vloss)
             # held-out test metric every test_interval epochs
-            if len(test_idx) and epoch % self.test_interval == 0:
-                tin = tuple(jnp.asarray(a[test_idx]) for a in inputs)
-                test_history.append(
-                    (
-                        epoch,
-                        float(
-                            eval_loss(
-                                variables, tin, jnp.asarray(target[test_idx])
-                            )
-                        ),
-                    )
-                )
+            if tin is not None and epoch % self.test_interval == 0:
+                test_history.append((epoch, float(eval_loss(variables, tin, tt))))
             if vloss < best_val - 1e-6:
                 best_val = vloss
                 best_vars = variables
@@ -162,11 +179,8 @@ class _Trainer:
         info = {"val_loss": best_val, "history": history}
         if test_history:
             info["test_history"] = test_history
-        if len(test_idx):
-            tin = tuple(jnp.asarray(a[test_idx]) for a in inputs)
-            info["test_loss"] = float(
-                eval_loss(best_vars, tin, jnp.asarray(target[test_idx]))
-            )
+        if tin is not None:
+            info["test_loss"] = float(eval_loss(best_vars, tin, tt))
         return best_vars, info
 
 

@@ -31,9 +31,14 @@ class FDRManager(BaseManager):
         random_state: int | None = None,
     ):
         super().__init__(path, load_from_file)
-        self.feature_columns = feature_columns
-        self.classifier_base = classifier_base or BinaryClassifier()
-        self.classifier_store: list[BinaryClassifier] = []
+        if not self.is_loaded_from_file:
+            # a successful load() already restored the trained classifier
+            # store and its feature columns (the classifier input dim is
+            # tied to them) — don't clobber them with fresh defaults
+            self.feature_columns = feature_columns
+            self.classifier_base = classifier_base or BinaryClassifier()
+            self.classifier_store: list[BinaryClassifier] = []
+        # per-run runtime context always comes from the constructor
         self.dia_cycle = dia_cycle
         self.config = config
         self.figure_path = figure_path

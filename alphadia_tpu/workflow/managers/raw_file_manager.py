@@ -17,7 +17,8 @@ class RawFileManager(BaseManager):
     def __init__(self, config=None, path=None, load_from_file=False):
         super().__init__(path, load_from_file)
         self.config = config
-        self.stats: dict = {}
+        if not self.is_loaded_from_file:
+            self.stats: dict = {}
 
     def _load_with_cache(self, raw_path: str, thread_count: int):
         """XML parsing of large mzML files is the slow part of ingestion;

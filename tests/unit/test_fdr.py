@@ -75,6 +75,29 @@ def test_classifier_separates():
     )
 
 
+def test_classifier_scan_training_semantics():
+    """The lax.scan training path: deterministic under a fixed seed,
+    padded (masked) steps leave state untouched, per-epoch loss metric
+    bookkeeping intact."""
+    t, d, cols = _synthetic_psm(n=700)  # odd size -> num_batches not pow2
+    X = np.concatenate([t[cols], d[cols]])
+    y = np.concatenate([np.zeros(len(t)), np.ones(len(d))])
+
+    clf_a = BinaryClassifier(random_state=7, epochs=4)
+    clf_a.fit(X, y)
+    clf_b = BinaryClassifier(random_state=7, epochs=4)
+    clf_b.fit(X, y)
+    np.testing.assert_allclose(
+        clf_a.predict_proba(X[:128]), clf_b.predict_proba(X[:128]), atol=1e-6
+    )
+    # one loss entry per epoch, all finite and nonzero (a masked padded
+    # step would contribute an exact 0.0)
+    assert len(clf_a.metrics["train_loss"]) == 4
+    assert all(np.isfinite(v) and v > 0 for v in clf_a.metrics["train_loss"])
+    # training moved the loss
+    assert clf_a.metrics["train_loss"][-1] < clf_a.metrics["train_loss"][0] * 1.5
+
+
 def test_perform_fdr_end_to_end():
     t, d, cols = _synthetic_psm(n=2000)
     clf = BinaryClassifier(random_state=0, epochs=5)

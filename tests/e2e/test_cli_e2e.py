@@ -122,6 +122,23 @@ def test_cli_full_search(e2e_inputs):
     assert {"run_0", "run_1"} <= set(pg.columns)
     assert (pg[["run_0", "run_1"]].fillna(0) >= 0).all().all()
 
+    # the CI metrics calculator reads the same outputs (calc_metrics.py)
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "calc_metrics", Path(__file__).parent / "calc_metrics.py"
+    )
+    calc_metrics = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(calc_metrics)
+
+    metrics = calc_metrics.calc_all(out_dir)
+    assert metrics["n_runs"] == 2
+    assert metrics["BasicStats/precursors_mean"] > 100
+    assert metrics["BasicStats/optimization.ms2_error_mean"] > 0
+    assert metrics["Precursors/total"] == len(psm)
+    assert metrics["Precursors/protein_groups"] > 0
+
 
 def test_cli_version(capsys):
     from alphadia_tpu.cli import run

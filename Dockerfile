@@ -34,6 +34,11 @@ ARG JAX_VARIANT="jax"
 RUN pip install --no-cache-dir "${JAX_VARIANT}" && \
     pip install --no-cache-dir .
 
+# prebuild the native peak-store extension into site-packages while still
+# root — at runtime the unprivileged user cannot write there (it would
+# fall back to a ~/.cache build on first use otherwise)
+RUN python -c "from alphadia_tpu.native import get_lib; assert get_lib() is not None, 'native build failed'"
+
 USER alphadia
 ENTRYPOINT ["alphadia-tpu"]
 CMD ["--help"]

@@ -68,18 +68,27 @@ class JobManager:
             config = payload.get("config") or {}
             if config:
                 cmd += ["--config-dict", json.dumps(config)]
-            Path(output).mkdir(parents=True, exist_ok=True)
-            log_path = Path(output) / "gui_run.log"
-            log_file = open(log_path, "wb")
-            # own process group so cancel kills the whole tree (exact
-            # pgid, never by pattern)
-            self._proc = subprocess.Popen(
-                cmd,
-                stdout=log_file,
-                stderr=subprocess.STDOUT,
-                start_new_session=True,
-            )
-            log_file.close()
+            # filesystem/launch failures come back as JSON errors, not a
+            # dropped connection (unwritable output dir, missing python…)
+            try:
+                Path(output).mkdir(parents=True, exist_ok=True)
+                log_path = Path(output) / "gui_run.log"
+                log_file = open(log_path, "wb")
+            except OSError as e:
+                return {"error": f"cannot write to output directory: {e}"}
+            try:
+                # own process group so cancel kills the whole tree (exact
+                # pgid, never by pattern)
+                self._proc = subprocess.Popen(
+                    cmd,
+                    stdout=log_file,
+                    stderr=subprocess.STDOUT,
+                    start_new_session=True,
+                )
+            except OSError as e:
+                return {"error": f"could not launch search process: {e}"}
+            finally:
+                log_file.close()
             self._info = {
                 "state": "running",
                 "pid": self._proc.pid,
@@ -237,14 +246,18 @@ def make_handler(jobs: JobManager, token: str):
             except json.JSONDecodeError:
                 self._json({"error": "invalid JSON"}, 400)
                 return
-            if self.path == "/api/run":
-                res = jobs.start(payload)
-                self._json(res, 400 if "error" in res else 200)
-            elif self.path == "/api/cancel":
-                res = jobs.cancel()
-                self._json(res, 400 if "error" in res else 200)
-            else:
-                self._json({"error": "not found"}, 404)
+            try:
+                if self.path == "/api/run":
+                    res = jobs.start(payload)
+                elif self.path == "/api/cancel":
+                    res = jobs.cancel()
+                else:
+                    self._json({"error": "not found"}, 404)
+                    return
+            except Exception as e:  # surface as JSON, not a dropped socket
+                logger.warning(f"GUI {self.path} failed: {e}")
+                res = {"error": f"{type(e).__name__}: {e}"}
+            self._json(res, 400 if "error" in res else 200)
 
     return Handler
 

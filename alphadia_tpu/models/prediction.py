@@ -141,6 +141,14 @@ class SimplePrediction(ProcessingStep):
         # model deems improbable, but never drop a peptide entirely — its
         # most probable enumerated charge always survives (deviation noted
         # in docs/parity.md; prevents losing peptides outright).
+        if self.predict_charge and lib.fragment_mz_df is not None:
+            from alphadia_tpu.reporting import logger
+
+            logger.warning(
+                "library_prediction.predict_charge ignored: the library "
+                "already carries fragment matrices, and dropping charge "
+                "states would desynchronize the fragment rows"
+            )
         if (
             self.predict_charge
             and lib.fragment_mz_df is None

@@ -16,25 +16,51 @@ import numpy as np
 from alphadia_tpu.reporting import logger
 
 _SRC = Path(__file__).parent / "peakstore.cpp"
-_LIB_PATH = Path(__file__).parent / "_peakstore.so"
 _lib = None
 _load_failed = False
 
 
-def _build() -> bool:
+def _lib_candidates() -> list[Path]:
+    """Build locations in preference order: next to the source (fastest
+    reuse, but read-only for non-root installs), then a per-user cache
+    (covers containers that run as an unprivileged user over a root-owned
+    site-packages — the .so lands in ~/.cache and persists across runs)."""
+    import os
+
+    cache_root = Path(
+        os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+    )
+    return [
+        Path(__file__).parent / "_peakstore.so",
+        cache_root / "alphadia_tpu" / "_peakstore.so",
+    ]
+
+
+def _build(lib_path: Path) -> bool:
     try:
+        lib_path.parent.mkdir(parents=True, exist_ok=True)
         cmd = [
             "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-            str(_SRC), "-o", str(_LIB_PATH),
+            str(_SRC), "-o", str(lib_path),
         ]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
         if res.returncode != 0:
-            logger.warning(f"native build failed: {res.stderr[:500]}")
+            logger.warning(f"native build failed at {lib_path}: {res.stderr[:500]}")
             return False
         return True
     except Exception as e:
-        logger.warning(f"native build unavailable: {e}")
+        logger.warning(f"native build unavailable at {lib_path}: {e}")
         return False
+
+
+def _build_or_find() -> Path | None:
+    for lib_path in _lib_candidates():
+        if lib_path.exists() and lib_path.stat().st_mtime >= _SRC.stat().st_mtime:
+            return lib_path
+    for lib_path in _lib_candidates():
+        if _build(lib_path):
+            return lib_path
+    return None
 
 
 def get_lib():
@@ -43,11 +69,11 @@ def get_lib():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                _load_failed = True
-                return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib_path = _build_or_find()
+        if lib_path is None:
+            _load_failed = True
+            return None
+        lib = ctypes.CDLL(str(lib_path))
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")

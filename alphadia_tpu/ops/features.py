@@ -39,6 +39,15 @@ def masked_corrcoef(x, y, mask, axis=-1, eps=1e-12):
     return num / (den + eps)
 
 
+def cosine_rows(x, template, eps=1e-4):
+    """Cosine similarity of [..., W] rows against a broadcastable template
+    (reference features_utils.py:41-47 cosine_similarity_a1, incl. its
+    1e-4 denominator epsilon)."""
+    x_norm = jnp.sqrt((x**2).sum(axis=-1))
+    t_norm = jnp.sqrt((template**2).sum(axis=-1))
+    return (x * template).sum(axis=-1) / (x_norm * t_norm + eps)
+
+
 def pearson_rows(x, y, eps=1e-12):
     """Row-wise Pearson between matching [..., W] profiles (no mask)."""
     xm = x.mean(axis=-1, keepdims=True)

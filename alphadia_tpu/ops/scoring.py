@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from alphadia_tpu.constants.settings import NUM_FEATURES
 from alphadia_tpu.ops.features import (
     center_envelope_odd,
+    cosine_rows,
     logistic_rectangle,
     masked_corrcoef,
     masked_mean,
@@ -364,11 +365,7 @@ def score_candidates_batch(
     features = features.at[:, 23].set((intensity_norm * h_nz).sum(axis=1))
 
     # mean_observation_score: cosine(template per-obs intensity, fragment per-obs)
-    t_norm = jnp.sqrt((t_sum**2).sum(axis=-1))  # [B]
-    f_norm = jnp.sqrt((sum_frag_int**2).sum(axis=-1))  # [B, KF]
-    cos = (sum_frag_int * t_sum[:, None, :]).sum(axis=-1) / (
-        f_norm * t_norm[:, None] + 1e-4
-    )
+    cos = cosine_rows(sum_frag_int, t_sum[:, None, :])  # [B, KF]
     features = features.at[:, 24].set(masked_mean(cos, int_nz))
 
     is_b = frag_type == 98
@@ -706,6 +703,11 @@ def unpack_scoring_output(
         frag_out["intensity"] = np.zeros_like(frag_out["height"])
     frag_out["obs_intensity"] = take(O2, ml_dtypes.bfloat16).astype(np.float32)
     frag_out["scan_com"] = take(2, np.float32)[:, 0]
+    if o != p.shape[1]:  # KF/O2/with_quant skew between packer and unpacker
+        raise ValueError(
+            f"packed scoring buffer has {p.shape[1]} u16 columns, unpack "
+            f"layout consumed {o} (KF={KF}, O2={O2}, with_quant={with_quant})"
+        )
     return features, valid, frag_out
 
 

@@ -102,6 +102,11 @@ def _read_frame(
     bin_data: memoryview, offset: int, decompressor
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Read + decode the frame blob at ``offset`` in analysis.tdf_bin."""
+    if offset < 0 or offset + 8 > len(bin_data):
+        raise TdfFormatError(
+            f"frame header at offset {offset} overruns tdf_bin "
+            f"({len(bin_data)} bytes) — truncated or corrupt file"
+        )
     header = np.frombuffer(bin_data[offset : offset + 8], dtype=np.uint32)
     byte_count, _scan_count = int(header[0]), int(header[1])
     if byte_count < 8 or offset + byte_count > len(bin_data):

@@ -14,10 +14,17 @@ from __future__ import annotations
 
 import numpy as np
 
-import matplotlib
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt
+def _plt():
+    """Lazy matplotlib import (optional dependency — same pattern as
+    fdr/fdr.py and reporting.py: plotting must not break a headless
+    install at import time)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
 
 
 def plot_dia_cycle(dia, ax=None):
@@ -26,7 +33,7 @@ def plot_dia_cycle(dia, ax=None):
     (reference plotting/cycle.py:105-165 plot_dia_cycle_nomobility)
     """
     if ax is None:
-        _, ax = plt.subplots(figsize=(7, 3))
+        _, ax = _plt().subplots(figsize=(7, 3))
     cyc = dia.cycle[0, :, 0, :]  # [n_slots, 2]
     for slot, (lo, hi) in enumerate(cyc):
         if lo < 0:
@@ -53,7 +60,7 @@ def plot_fragment_profiles(
     of dense fragments + side profiles; here traces + template overlay.)
     """
     KF, O2, W = dense_int.shape
-    fig, axes = plt.subplots(
+    fig, axes = _plt().subplots(
         1, O2, figsize=(4 * O2, 3.2), squeeze=False, sharey=True
     )
     x = np.arange(W)
@@ -85,7 +92,7 @@ def plot_precursor_profiles(
 ):
     """Isotope-envelope XIC traces (reference plotting/debug.py:116-153)."""
     KI, W = dense_int.shape
-    fig, ax = plt.subplots(figsize=(4.5, 3.2))
+    fig, ax = _plt().subplots(figsize=(4.5, 3.2))
     x = np.arange(W)
     for k in range(KI):
         ax.plot(x, dense_int[k], lw=1.2, label=f"i{k} {iso_mz[k]:.3f}")
@@ -105,7 +112,7 @@ def plot_selection_score(
     title: str = "",
 ):
     """Smoothed selection score with chosen candidate apexes/extents."""
-    fig, ax = plt.subplots(figsize=(5, 2.8))
+    fig, ax = _plt().subplots(figsize=(5, 2.8))
     x = np.arange(len(score_profile))
     ax.plot(x, score_profile, lw=1.2, color="#4878d0")
     for p in np.atleast_1d(peaks):
@@ -198,6 +205,6 @@ def debug_candidates(scoring, candidates_df, n: int = 3, figure_dir=None):
             name = f"debug_{pid}_{tag}"
             if backend is not None:
                 backend.log_figure(name, fig)
-            plt.close(fig)
+            _plt().close(fig)
             names.append(name)
     return names

@@ -201,7 +201,8 @@ class QuadrupoleCalibration:
         new_cycle = np.asarray(cycle, np.float64).copy()
         lo = new_cycle[..., 0]
         hi = new_cycle[..., 1]
-        ms2 = lo > 0
+        ms2 = lo >= 0  # MS1 slots are marked lo=-1 (same convention as
+        # diadata.quad_mask / scoring is_ms2)
         if not ms2.any():
             return new_cycle
         span = float(hi[ms2].max() - lo[ms2].min())

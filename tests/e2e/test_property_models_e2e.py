@@ -138,12 +138,14 @@ def test_library_free_matches_library_based(tmp_path):
     seq_lib = set(ids_lib["precursor.sequence"])
     seq_free = set(ids_free["precursor.sequence"])
     assert len(ids_lib) > 20, f"library-based arm found only {len(ids_lib)}"
-    # pretrained models must recover most of the library-grade IDs
+    # pretrained models must reach within 15% of the library-grade IDs
+    # (measured 2026-08: ratio 0.98, overlap 1.0 — the margin only covers
+    # run-to-run jitter, not model regressions)
     ratio = len(seq_free) / max(len(seq_lib), 1)
-    assert ratio > 0.7, (
+    assert ratio > 0.85, (
         f"library-free {len(seq_free)} vs library-based {len(seq_lib)} "
         f"sequences (ratio {ratio:.2f})"
     )
     # and the two arms agree on what they found
     overlap = len(seq_free & seq_lib) / max(len(seq_free), 1)
-    assert overlap > 0.7, f"only {overlap:.2f} of library-free IDs overlap"
+    assert overlap > 0.9, f"only {overlap:.2f} of library-free IDs overlap"

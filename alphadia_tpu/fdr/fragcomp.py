@@ -38,7 +38,9 @@ class FragmentCompetition:
             return psm_df
         lower = cycle[0, :, 0, 0]
         upper = cycle[0, :, 0, 1]
-        mz = psm_df["mz_library"].to_numpy()[:, None]
+        # reference windows by the OBSERVED precursor m/z (fragcomp.py:196)
+        col = "mz_observed" if "mz_observed" in psm_df.columns else "mz_library"
+        mz = psm_df[col].to_numpy()[:, None]
         inside = (mz >= lower[None, :]) & (mz < upper[None, :]) & (lower[None, :] >= 0)
         psm_df = psm_df.copy()
         psm_df["window_idx"] = np.argmax(inside, axis=1)

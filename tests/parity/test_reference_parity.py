@@ -325,6 +325,52 @@ def test_cosine_similarity_matches_reference():
 
 
 # ----------------------------------------------------------------------
+# fragment competition  (reference alphadia/fragcomp/fragcomp.py)
+# ----------------------------------------------------------------------
+def test_fragment_competition_matches_reference():
+    """Same survivors on an engineered window with shared fragments."""
+    ref_fc = ref_module("alphadia.fragcomp.fragcomp")
+    from alphadia_tpu.fdr.fragcomp import FragmentCompetition
+
+    rng = np.random.default_rng(6)
+    cycle = np.zeros((1, 3, 1, 2))
+    cycle[0, 0] = [-1.0, -1.0]  # MS1 slot
+    cycle[0, 1] = [400.0, 500.0]
+    cycle[0, 2] = [500.0, 600.0]
+
+    n = 60
+    psm = pd.DataFrame(
+        {
+            "precursor_idx": np.arange(n),
+            "rank": np.zeros(n, np.int64),
+            "proba": rng.random(n).round(3),
+            "rt_observed": rng.uniform(100, 140, n).round(1),
+            "mz_observed": rng.uniform(405, 595, n),
+        }
+    )
+    # fragments: clusters of PSMs engineered to share >=3 fragments
+    frag_rows = []
+    base_sets = [rng.uniform(200, 900, 6) for _ in range(12)]
+    for i in range(n):
+        shared = base_sets[i % len(base_sets)]
+        own = rng.uniform(200, 900, 3)
+        for mz in np.concatenate([shared, own]):
+            frag_rows.append((i, 0, mz))
+    frag = pd.DataFrame(frag_rows, columns=["precursor_idx", "rank", "mz"])
+    frag["mz_observed"] = frag["mz"]
+
+    ours = FragmentCompetition(rt_tol_seconds=5.0, mass_tol_ppm=15.0)(
+        psm.copy(), frag.copy(), cycle
+    )
+    ref = ref_fc.FragmentCompetition(rt_tol_seconds=5.0, mass_tol_ppm=15.0)(
+        psm.copy(), frag.copy(), cycle.copy()
+    )
+    assert set(ours["precursor_idx"]) == set(ref["precursor_idx"])
+    # and competition actually removed something in this engineered setup
+    assert len(ours) < n
+
+
+# ----------------------------------------------------------------------
 # candidate hash  (reference alphadia/fragcomp/utils.py)
 # ----------------------------------------------------------------------
 def test_candidate_hash_matches_reference():

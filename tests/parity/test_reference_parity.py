@@ -325,6 +325,165 @@ def test_cosine_similarity_matches_reference():
 
 
 # ----------------------------------------------------------------------
+# selection peak finding + extents  (reference search/selection/utils.py)
+# ----------------------------------------------------------------------
+def test_find_peaks_1d_matches_reference():
+    ref_sel = ref_module(
+        "alphadia.search.selection.utils", file="alphadia/search/selection/utils.py"
+    )
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import find_peaks_profile
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        profile = rng.random(40)
+        _, ref_cycle, ref_int = ref_sel.find_peaks_1d(profile[None, :], top_n=3)
+        idx, score, valid = find_peaks_profile(jnp.asarray(profile[None, :]), top_n=3)
+        our_cycle = np.asarray(idx)[0][np.asarray(valid)[0]]
+        assert set(our_cycle) == set(ref_cycle), f"trial {trial}"
+        np.testing.assert_allclose(
+            np.sort(np.asarray(score)[0][np.asarray(valid)[0]]),
+            np.sort(ref_int),
+            rtol=1e-6,
+        )
+
+
+def test_find_peaks_2d_matches_reference():
+    ref_sel = ref_module(
+        "alphadia.search.selection.utils", file="alphadia/search/selection/utils.py"
+    )
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import find_peaks_profile_2d
+
+    rng = np.random.default_rng(12)
+    S, W = 30, 40
+    a = rng.random((S, W))
+    # taper the scan edges: our kernel deliberately admits edge-scan apexes
+    # (small-S mobility grids) where the reference's interior stencil
+    # cannot; keep apexes interior so both see the same field
+    taper = np.minimum(np.arange(S), np.arange(S)[::-1]).clip(max=3) / 3.0
+    a = a * taper[:, None]
+    ref_scan, ref_cycle, ref_int = ref_sel.find_peaks_2d(a, top_n=3)
+    scan, cyc, score, valid = find_peaks_profile_2d(jnp.asarray(a[None]), top_n=3)
+    v = np.asarray(valid)[0]
+    ours = set(zip(np.asarray(scan)[0][v], np.asarray(cyc)[0][v]))
+    assert ours == set(zip(ref_scan, ref_cycle))
+
+
+def test_symmetric_limits_1d_matches_reference():
+    ref_sel = ref_module(
+        "alphadia.search.selection.utils", file="alphadia/search/selection/utils.py"
+    )
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import symmetric_limits_profile
+
+    rng = np.random.default_rng(13)
+    W = 50
+    for trial in range(6):
+        profile = np.convolve(rng.random(W), np.ones(5) / 5, mode="same")
+        centers = np.array([[5, 20, 25, 48]], np.int32)
+        ref_limits = np.stack(
+            [
+                ref_sel._symetric_limits_1d(
+                    profile, int(c), f=0.95, center_fraction=0.01,
+                    min_size=1, max_size=10,
+                )
+                for c in centers[0]
+            ]
+        )
+        start, stop = symmetric_limits_profile(
+            jnp.asarray(profile[None, :]), jnp.asarray(centers),
+            f=0.95, center_fraction=0.01, min_size=1, max_size=10,
+        )
+        np.testing.assert_array_equal(np.asarray(start)[0], ref_limits[:, 0])
+        np.testing.assert_array_equal(np.asarray(stop)[0], ref_limits[:, 1])
+
+
+def test_symmetric_limits_2d_matches_reference():
+    ref_sel = ref_module(
+        "alphadia.search.selection.utils", file="alphadia/search/selection/utils.py"
+    )
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import symmetric_limits_2d
+
+    rng = np.random.default_rng(14)
+    S, W = 24, 40
+    a = rng.random((S, W))
+    kw = dict(
+        f_mobility=0.95, f_rt=0.95, center_fraction=0.01,
+        min_size_mobility=3, max_size_mobility=10,
+        min_size_rt=2, max_size_rt=10,
+    )
+    for sc, cc in [(12, 20), (5, 8), (20, 35)]:
+        ref_mob, ref_cyc = ref_sel.symetric_limits_2d(a, sc, cc, **kw)
+        ss, se, cs, ce = symmetric_limits_2d(
+            jnp.asarray(a[None]),
+            jnp.asarray([[sc]], jnp.int32),
+            jnp.asarray([[cc]], jnp.int32),
+            **kw,
+        )
+        assert (int(np.asarray(ss)[0, 0]), int(np.asarray(se)[0, 0])) == tuple(
+            ref_mob
+        ), (sc, cc)
+        assert (int(np.asarray(cs)[0, 0]), int(np.asarray(ce)[0, 0])) == tuple(
+            ref_cyc
+        ), (sc, cc)
+
+
+# ----------------------------------------------------------------------
+# calibration estimator  (reference alphadia/calibration/estimator.py)
+# ----------------------------------------------------------------------
+def test_calibration_estimator_matches_reference():
+    """Same fitted predictions + 95% CI through the estimator wrapper."""
+    ref_est_mod = ref_module("alphadia.calibration.estimator")
+    from alphadia_tpu.calibration.estimator import CalibrationEstimator
+    from alphadia_tpu.calibration.models import LOESSRegression
+
+    rng = np.random.default_rng(15)
+    mz = np.sort(rng.uniform(300, 1200, 800))
+    ppm = 4.0 + 0.004 * (mz - 700) + rng.normal(0, 0.5, mz.shape)
+    df = pd.DataFrame(
+        {"mz_library": mz, "mz_observed": mz * (1 + ppm * 1e-6)}
+    )
+
+    ref_models = ref_module("alphadia.calibration.models")
+    ref_est = ref_est_mod.CalibrationEstimator(
+        name="mz",
+        model=ref_models.LOESSRegression(n_kernels=6, polynomial_degree=2),
+        input_columns=["mz_library"],
+        target_columns=["mz_observed"],
+        output_columns=["mz_calibrated"],
+        transform_deviation="1e6",
+    )
+    our_est = CalibrationEstimator(
+        name="mz",
+        function=LOESSRegression(n_kernels=6, polynomial_degree=2),
+        input_columns=["mz_library"],
+        target_columns=["mz_observed"],
+        output_columns=["mz_calibrated"],
+        transform_deviation="1e6",
+    )
+    ref_df, our_df = df.copy(), df.copy()
+    ref_est.fit(ref_df, plot=False)
+    ref_est.predict(ref_df)
+    our_est.fit(our_df)
+    our_est.predict(our_df)
+    # identical calibrated outputs to sub-0.1 ppm
+    np.testing.assert_allclose(
+        our_df["mz_calibrated"].to_numpy(),
+        ref_df["mz_calibrated"].to_numpy(),
+        rtol=1e-7,
+    )
+    ref_ci = ref_est.ci(ref_df, 0.95)
+    our_ci = our_est.ci(our_df, 0.95)
+    assert abs(our_ci - ref_ci) < 0.05 * max(ref_ci, 1e-9)
+
+
+# ----------------------------------------------------------------------
 # fragment competition  (reference alphadia/fragcomp/fragcomp.py)
 # ----------------------------------------------------------------------
 def test_fragment_competition_matches_reference():

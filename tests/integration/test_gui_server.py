@@ -114,6 +114,25 @@ def test_run_validation_errors(server, tmp_path):
     assert code == 400
 
 
+def test_run_unwritable_output_is_json_error(server, tmp_path):
+    """Filesystem failures surface as JSON errors, not dropped sockets."""
+    raw = tmp_path / "run.npz"
+    raw.write_bytes(b"\x00")  # existence is all the handler checks up front
+    # a regular file as path parent: mkdir fails even for root (chmod
+    # tricks don't, the test user may be uid 0)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")
+    code, res = _post(
+        server + "/api/run",
+        {
+            "output_directory": str(blocker / "out"),
+            "raw_path_list": [str(raw)],
+        },
+    )
+    assert code == 400
+    assert "cannot write to output directory" in res["error"]
+
+
 @pytest.mark.slow
 def test_run_search_through_gui(server, tmp_path, monkeypatch):
     # the GUI subprocess inherits our env; force it onto CPU like the

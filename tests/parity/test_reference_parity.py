@@ -530,6 +530,47 @@ def test_fragment_competition_matches_reference():
 
 
 # ----------------------------------------------------------------------
+# FDR classifier quality  (reference alphadia/fdr/classifiers.py)
+# ----------------------------------------------------------------------
+def _auc(proba, y):
+    order = np.argsort(proba)
+    ranks = np.empty(len(proba))
+    ranks[order] = np.arange(len(proba))
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    return (ranks[y == 1].sum() - n1 * (n1 - 1) / 2) / max(n1 * n0, 1)
+
+
+def test_classifier_quality_matches_reference_torch():
+    """Our flax classifier must discriminate as well as the reference's
+    torch recipe (same architecture/hyperparameters) on identical data.
+    Stochastic training — compare AUCs, not weights."""
+    ref_cls = ref_module("alphadia.fdr.classifiers")
+    from alphadia_tpu.models.classifier import BinaryClassifier
+
+    rng = np.random.default_rng(16)
+    n, d = 3000, 12
+    y = rng.integers(0, 2, n)
+    # overlapping classes: informative but not trivially separable
+    X = rng.normal(0, 1, (n, d)) + y[:, None] * rng.normal(0.6, 0.1, d)
+    X = X.astype(np.float32)
+
+    ref_clf = ref_cls.BinaryClassifierLegacyNewBatching(
+        test_size=0.01, epochs=10, random_state=0
+    )
+    ref_clf.fit(X, y)
+    ref_auc = _auc(ref_clf.predict_proba(X)[:, 1], y)
+
+    our_clf = BinaryClassifier(test_size=0.01, epochs=10, random_state=0)
+    our_clf.fit(X, y)
+    our_auc = _auc(our_clf.predict_proba(X)[:, 1], y)
+
+    assert our_auc > 0.8, f"our classifier failed to learn (AUC {our_auc:.3f})"
+    assert our_auc > ref_auc - 0.03, (
+        f"our AUC {our_auc:.3f} materially below reference {ref_auc:.3f}"
+    )
+
+
+# ----------------------------------------------------------------------
 # candidate hash  (reference alphadia/fragcomp/utils.py)
 # ----------------------------------------------------------------------
 def test_candidate_hash_matches_reference():

@@ -530,6 +530,52 @@ def test_fragment_competition_matches_reference():
 
 
 # ----------------------------------------------------------------------
+# fdrx statistics  (reference alphadia/fdr/_fdrx/stats.py)
+# ----------------------------------------------------------------------
+def test_fdrx_add_q_values_matches_reference():
+    ref_stats = ref_module("alphadia.fdr._fdrx.stats")
+    from alphadia_tpu.fdr.fdrx import add_q_values
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "decoy_proba": rng.random(n),
+            "decoy": rng.integers(0, 2, n),
+            "precursor_idx": rng.permutation(n),
+        }
+    )
+    for r in (1.0, 2.5):
+        ref = (
+            ref_stats.add_q_values(df.copy(), r_target_decoy=r)
+            .sort_values("precursor_idx")
+            .reset_index(drop=True)
+        )
+        ours = (
+            add_q_values(df.copy(), r_target_decoy=r)
+            .sort_values("precursor_idx")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            ours["qval"].to_numpy(), ref["qval"].to_numpy(), rtol=1e-12
+        )
+
+
+def test_fdrx_get_pep_matches_reference():
+    ref_stats = ref_module("alphadia.fdr._fdrx.stats")
+    from alphadia_tpu.fdr.fdrx import get_pep
+
+    rng = np.random.default_rng(18)
+    n = 2000
+    decoy = rng.integers(0, 2, n)
+    score = np.clip(rng.normal(0.3 + 0.4 * decoy, 0.15), 0.001, 0.999)
+    df = pd.DataFrame({"decoy_proba": score, "decoy": decoy})
+    ref_pep = ref_stats.get_pep(df)
+    our_pep = get_pep(df)
+    np.testing.assert_allclose(our_pep, ref_pep, rtol=1e-10)
+
+
+# ----------------------------------------------------------------------
 # FDR classifier quality  (reference alphadia/fdr/classifiers.py)
 # ----------------------------------------------------------------------
 def _auc(proba, y):

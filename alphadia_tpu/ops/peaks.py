@@ -243,6 +243,75 @@ def _limits_on_profiles(profiles, center, f, center_fraction, min_size, max_size
     return start.astype(jnp.int32), stop.astype(jnp.int32)
 
 
+def suppress_close_peaks_2d(
+    scan_idx, cycle_idx, peak_score, valid, scan_tolerance: int, cycle_tolerance: int
+):
+    """Keep only the best peak within a (scan, cycle) neighborhood.
+
+    Reference ``_join_close_peaks`` (selection.py:230-284, called with
+    scan_tolerance=3, cycle_tolerance=3): a peak is suppressed only when
+    BOTH |Δscan| <= scan_tolerance AND |Δcycle| <= cycle_tolerance to a
+    better peak — mobility-separated features co-eluting in RT survive.
+    Peaks are score-descending along axis 1.
+    """
+    C = cycle_idx.shape[1]
+    keep = valid
+    for i in range(1, C):
+        close_to_better = jnp.zeros(cycle_idx.shape[0], dtype=bool)
+        for j in range(i):
+            close = (
+                keep[:, j]
+                & (jnp.abs(scan_idx[:, i] - scan_idx[:, j]) <= scan_tolerance)
+                & (jnp.abs(cycle_idx[:, i] - cycle_idx[:, j]) <= cycle_tolerance)
+            )
+            close_to_better |= close
+        keep = keep.at[:, i].set(keep[:, i] & ~close_to_better)
+    return keep
+
+
+def join_overlapping_2d(
+    scan_start, scan_stop, cyc_start, cyc_stop, keep,
+    p_scan_overlap: float, p_cycle_overlap: float,
+):
+    """Merge lower-ranked candidates whose 2D extent overlaps a
+    higher-ranked one (reference ``_join_overlapping_candidates``,
+    selection.py:288-370, defaults p_scan_overlap=0.01,
+    p_cycle_overlap=0.6; overlap fractions measured against the
+    higher-ranked candidate, union limits on join)."""
+    C = scan_start.shape[1]
+    for i in range(C):
+        for j in range(i + 1, C):
+            cyc_len = (cyc_stop[:, i] - cyc_start[:, i]).astype(jnp.float32)
+            cyc_ov = (
+                jnp.minimum(cyc_stop[:, i], cyc_stop[:, j])
+                - jnp.maximum(cyc_start[:, i], cyc_start[:, j])
+            ).astype(jnp.float32) / jnp.maximum(cyc_len, 1.0)
+            scan_len = (scan_stop[:, i] - scan_start[:, i]).astype(jnp.float32)
+            scan_ov = (
+                jnp.minimum(scan_stop[:, i], scan_stop[:, j])
+                - jnp.maximum(scan_start[:, i], scan_start[:, j])
+            ).astype(jnp.float32) / jnp.maximum(scan_len, 1.0)
+            do_join = (
+                keep[:, i] & keep[:, j]
+                & (scan_ov >= 0) & (cyc_ov >= 0)
+                & (scan_ov > p_scan_overlap) & (cyc_ov > p_cycle_overlap)
+            )
+            scan_start = scan_start.at[:, i].set(
+                jnp.where(do_join, jnp.minimum(scan_start[:, i], scan_start[:, j]), scan_start[:, i])
+            )
+            scan_stop = scan_stop.at[:, i].set(
+                jnp.where(do_join, jnp.maximum(scan_stop[:, i], scan_stop[:, j]), scan_stop[:, i])
+            )
+            cyc_start = cyc_start.at[:, i].set(
+                jnp.where(do_join, jnp.minimum(cyc_start[:, i], cyc_start[:, j]), cyc_start[:, i])
+            )
+            cyc_stop = cyc_stop.at[:, i].set(
+                jnp.where(do_join, jnp.maximum(cyc_stop[:, i], cyc_stop[:, j]), cyc_stop[:, i])
+            )
+            keep = keep.at[:, j].set(keep[:, j] & ~do_join)
+    return scan_start, scan_stop, cyc_start, cyc_stop, keep
+
+
 def join_overlapping_1d(start, stop, keep, p_overlap: float):
     """Merge lower-ranked overlapping candidates into higher-ranked ones.
 

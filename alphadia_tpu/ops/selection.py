@@ -31,7 +31,9 @@ from alphadia_tpu.ops.peaks import (
     find_peaks_profile,
     find_peaks_profile_2d,
     join_overlapping_1d,
+    join_overlapping_2d,
     suppress_close_peaks,
+    suppress_close_peaks_2d,
     symmetric_limits_2d,
     symmetric_limits_profile,
 )
@@ -260,6 +262,8 @@ _SCAN_SMOOTH = (0.25, 0.5, 0.25)  # fixed 3-tap kernel along the scan axis
         "f_mobility",
         "center_fraction",
         "peak_cycle_tolerance",
+        "peak_scan_tolerance",
+        "join_close_candidates",
     ),
 )
 def select_candidates_batch_4d(
@@ -294,6 +298,8 @@ def select_candidates_batch_4d(
     f_mobility: float = 0.99,
     center_fraction: float = 0.5,
     peak_cycle_tolerance: int = 3,
+    peak_scan_tolerance: int = 3,
+    join_close_candidates: bool = True,
 ):
     """4D candidate selection for ion-mobility data (reference
     select_candidates 2D path, selection/selection.py:78-544 +
@@ -353,7 +359,13 @@ def select_candidates_batch_4d(
     scan_idx, cycle_idx, peak_score, valid = find_peaks_profile_2d(
         score, top_n=candidate_count
     )
-    keep = suppress_close_peaks(cycle_idx, peak_score, valid, peak_cycle_tolerance)
+    # suppression needs closeness in BOTH dims: mobility-separated
+    # features co-eluting in RT stay distinct candidates (reference
+    # _join_close_peaks(scan_tol=3, cycle_tol=3))
+    keep = suppress_close_peaks_2d(
+        scan_idx, cycle_idx, peak_score, valid,
+        peak_scan_tolerance, peak_cycle_tolerance,
+    )
 
     scan_start, scan_stop, start_rel, stop_rel = symmetric_limits_2d(
         score,
@@ -367,6 +379,14 @@ def select_candidates_batch_4d(
         min_size_rt=min_size_rt,
         max_size_rt=max_size_rt,
     )
+
+    if join_close_candidates:
+        # merge lower-ranked candidates whose (scan, cycle) extent
+        # overlaps a better one (reference _join_overlapping_candidates)
+        scan_start, scan_stop, start_rel, stop_rel, keep = join_overlapping_2d(
+            scan_start, scan_stop, start_rel, stop_rel, keep,
+            p_scan_overlap=0.01, p_cycle_overlap=0.6,
+        )
 
     enough_fragments = (n_valid_fragments > 3)[:, None]
     keep = keep & enough_fragments

@@ -207,7 +207,10 @@ def extract_xic_pallas(
     W = window_len
     n_slots = cell_start.shape[0]
     cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
-    R = slab // LANE + 1
+    # a slab window starting at any in-row offset (0..LANE-1) spans up to
+    # ceil(slab/LANE)+1 rows; the old `slab // LANE + 1` silently dropped
+    # trailing peaks for slab sizes that are not a multiple of LANE
+    R = -(-slab // LANE) + 1
     n_rows = peak_packed.shape[0]
 
     valid_q = slot_idx >= 0

@@ -104,10 +104,6 @@ class DiaData:
         used = np.arange(cycle_start, cycle_start + n_cycles * n_slots)
         spectra = spectra.select(used)
 
-        ms_level_slot = np.where(cycle[0, :, 0, 0] < 0, 1, 2).astype(np.int32)
-        if not has_ms1:
-            ms_level_slot[:] = 2
-
         rt_values = spectra.rt.astype(np.float32)
         cycle_rt = rt_values[::n_slots].copy()
 

@@ -50,6 +50,7 @@ def read_alpharaw_hdf(path: str | Path) -> SpectrumData:
             )
 
         rt = _col(spec, "rt", "rt_values")
+        rt_unit = str(spec.attrs.get("rt_unit", ""))
         ms_level = _col(spec, "ms_level")
         iso_lo = _col(spec, "isolation_lower_mz", "precursor_mz_lower")
         iso_hi = _col(spec, "isolation_upper_mz", "precursor_mz_upper")
@@ -68,9 +69,17 @@ def read_alpharaw_hdf(path: str | Path) -> SpectrumData:
             raise ValueError(f"{path}: missing {name} column")
 
     rt_s = np.asarray(rt, np.float64)
-    # alphaRaw stores minutes; accept seconds when the range is clearly large
-    if rt_s.max() < 360:
+    if rt_s.size == 0:
+        raise ValueError(f"{path}: empty spectrum table")
+    # the alphaRaw layout stores RT in MINUTES by specification — convert
+    # unconditionally (a <6h range heuristic would silently keep minute
+    # units for long acquisitions); an explicit rt_unit attribute wins
+    if rt_unit == "second":
+        pass
+    elif rt_unit in ("", "minute"):
         rt_s = rt_s * 60.0
+    else:
+        raise ValueError(f"{path}: unknown rt_unit attribute {rt_unit!r}")
 
     if iso_hi is None:
         iso_hi = iso_lo

@@ -64,15 +64,17 @@ class SpectrumData:
             np.cumsum(counts[:-1], out=new_start[1:])
         new_stop = new_start + counts
         total = int(counts.sum())
-        mz = np.empty(total, dtype=np.float32)
-        inten = np.empty(total, dtype=np.float32)
-        mob = np.empty(total, dtype=np.float32) if self.has_mobility else None
-        for j, i in enumerate(idx):
-            a, b = self.peak_start_idx[i], self.peak_stop_idx[i]
-            mz[new_start[j] : new_stop[j]] = self.mz[a:b]
-            inten[new_start[j] : new_stop[j]] = self.intensity[a:b]
-            if mob is not None:
-                mob[new_start[j] : new_stop[j]] = self.mobility[a:b]
+        # one vectorized gather instead of a per-spectrum Python loop
+        # (~200k interpreter iterations per load on a large raw file):
+        # flat source index = start[spectrum] + offset-within-spectrum
+        src = (
+            np.repeat(self.peak_start_idx[idx], counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(new_start, counts)
+        )
+        mz = self.mz[src]
+        inten = self.intensity[src]
+        mob = self.mobility[src] if self.has_mobility else None
         return SpectrumData(
             rt=self.rt[idx],
             ms_level=self.ms_level[idx],

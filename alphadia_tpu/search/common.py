@@ -1,0 +1,91 @@
+"""Policy helpers shared by the selection and scoring drivers.
+
+These encode decisions that MUST agree between the two stages — which
+device path runs, how candidate batches shard over a mesh, which
+observation slots a precursor matches, and which top-k fragment subset
+is used — so they live in one place instead of drifting apart as
+copy-pasted blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pallas_available() -> bool:
+    """Pallas XIC path: TPU backends, single device (multi-chip runs keep
+    the XLA path until the kernel is wrapped in shard_map)."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",) and len(jax.devices()) == 1
+
+
+def data_parallel_mesh(mesh_devices, batch_size: int):
+    """Data-parallel mesh when more than one device is visible
+    (``tpu.mesh_devices`` caps the data-parallel axis); None when a mesh
+    cannot shard the batch evenly."""
+    import jax
+
+    n = len(jax.devices())
+    if mesh_devices:
+        n = min(n, int(mesh_devices))
+    if n <= 1 or batch_size % n:
+        return None
+    from alphadia_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
+def first_k_true(mask: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the first k true columns per row; -1 where fewer."""
+    # argsort of ~mask is stable: true columns first in column order
+    order = np.argsort(~mask, axis=1, kind="stable")[:, :k]
+    has = np.take_along_axis(mask, order, axis=1)
+    return np.where(has, order.astype(np.int32), -1)
+
+
+def top_k_fragment_order(valid: np.ndarray, intensity: np.ndarray, k: int):
+    """Column order selecting the top-k fragments by intensity.
+
+    Stable descending sort on the negated key: first occurrence wins
+    ties. Selection and scoring both use THIS function so the two stages
+    always pick the same fragment subset.
+    """
+    return np.argsort(-np.where(valid, intensity, -1.0), axis=1, kind="stable")[:, :k]
+
+
+def assign_observation_slots(
+    dia, mono_mz: np.ndarray, iso_mz: np.ndarray, max_ms2_obs: int, max_ms1_obs: int
+):
+    """Cycle-slot assignment per precursor.
+
+    Returns ``(ms2_slots [n, max_ms2_obs], ms1_slots [n, O1], win_lo,
+    win_hi)`` — MS2 slots whose isolation window overlaps the isotope
+    envelope (first-k in cycle order, -1 padded, with the matched quad
+    window bounds), and the first ``max_ms1_obs`` MS1 slots broadcast per
+    row (single [n,1] column of -1 when the run has no MS1).
+    """
+    n = len(mono_mz)
+    win_lo_all = dia.cycle[0, :, 0, 0].astype(np.float32)
+    win_hi_all = dia.cycle[0, :, 0, 1].astype(np.float32)
+    is_ms2 = win_lo_all >= 0
+    iso_hi = iso_mz[:, -1]
+    match2 = (
+        is_ms2[None, :]
+        & (win_hi_all[None, :] > mono_mz[:, None])
+        & (win_lo_all[None, :] < iso_hi[:, None])
+    )
+    ms2_slots = first_k_true(match2, max_ms2_obs)
+    slot_safe = np.clip(ms2_slots, 0, len(win_lo_all) - 1)
+    win_lo = np.where(ms2_slots >= 0, win_lo_all[slot_safe], 1e7).astype(np.float32)
+    win_hi = np.where(ms2_slots >= 0, win_hi_all[slot_safe], 1e7 + 1).astype(
+        np.float32
+    )
+    ms1_all = np.nonzero(~is_ms2)[0][:max_ms1_obs]
+    if dia.has_ms1 and len(ms1_all):
+        ms1_slots = np.broadcast_to(
+            ms1_all.astype(np.int32), (n, len(ms1_all))
+        ).copy()
+    else:
+        ms1_slots = np.full((n, 1), -1, np.int32)
+    return ms2_slots.astype(np.int32), ms1_slots, win_lo, win_hi

@@ -23,6 +23,12 @@ from alphadia_tpu.ops.scoring import (
 )
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
+from alphadia_tpu.search.common import (
+    assign_observation_slots,
+    data_parallel_mesh,
+    pallas_available,
+    top_k_fragment_order,
+)
 from alphadia_tpu.utils.device import (
     bucket_window,
     effective_batch,
@@ -212,9 +218,8 @@ class CandidateScoring:
         if cfg.exclude_shared_ions:
             valid &= fcard <= 1
         KF = cfg.top_k_fragments
-        order = np.argsort(np.where(valid, fint, -1.0), axis=1, kind="stable")[:, ::-1][
-            :, :KF
-        ]
+        # shared policy with selection: both stages pick the same subset
+        order = top_k_fragment_order(valid, fint, KF)
 
         def takef(a):
             return np.take_along_axis(a, order, axis=1)
@@ -238,31 +243,10 @@ class CandidateScoring:
             ).astype(np.float32),
         }
 
-        # ms2/ms1 slots + quad windows
-        win_lo_all = dia.cycle[0, :, 0, 0].astype(np.float32)
-        win_hi_all = dia.cycle[0, :, 0, 1].astype(np.float32)
-        is_ms2 = win_lo_all >= 0
-        iso_hi = iso_mz[:, -1]
-        match2 = (
-            is_ms2[None, :]
-            & (win_hi_all[None, :] > mono_mz[:, None])
-            & (win_lo_all[None, :] < iso_hi[:, None])
+        # ms2/ms1 slots + quad windows (shared policy with selection)
+        ms2_slots, ms1_slots, win_lo, win_hi = assign_observation_slots(
+            dia, mono_mz, iso_mz, cfg.max_ms2_obs, cfg.max_ms1_obs
         )
-        from alphadia_tpu.search.selection import _first_k_true
-
-        ms2_slots = _first_k_true(match2, cfg.max_ms2_obs)
-        slot_safe = np.clip(ms2_slots, 0, len(win_lo_all) - 1)
-        win_lo = np.where(ms2_slots >= 0, win_lo_all[slot_safe], 1e7).astype(np.float32)
-        win_hi = np.where(ms2_slots >= 0, win_hi_all[slot_safe], 1e7 + 1).astype(
-            np.float32
-        )
-        ms1_all = np.nonzero(~is_ms2)[0][: cfg.max_ms1_obs]
-        if dia.has_ms1 and len(ms1_all):
-            ms1_slots = np.broadcast_to(
-                ms1_all.astype(np.int32), (len(rows), len(ms1_all))
-            ).copy()
-        else:
-            ms1_slots = np.full((len(rows), 1), -1, np.int32)
 
         frame_center = cand["frame_center"].to_numpy(np.int64).astype(np.int32)
         frame_start = cand["frame_start"].to_numpy(np.int64).astype(np.int32)
@@ -312,18 +296,7 @@ class CandidateScoring:
 
     # ------------------------------------------------------------------
     def _mesh(self):
-        """Data-parallel mesh when more than one device is visible
-        (``tpu.mesh_devices`` caps the data-parallel axis)."""
-        import jax
-
-        n = len(jax.devices())
-        if self.config.mesh_devices:
-            n = min(n, int(self.config.mesh_devices))
-        if n <= 1 or self.config.batch_size % n:
-            return None
-        from alphadia_tpu.parallel.mesh import make_mesh
-
-        return make_mesh(n)
+        return data_parallel_mesh(self.config.mesh_devices, self.config.batch_size)
 
     def __call__(
         self, candidates_df: pd.DataFrame, thread_count: int | None = None
@@ -603,12 +576,8 @@ class CandidateScoring:
         return psm_df, fragment_df
 
 
-def _pallas_available() -> bool:
-    """Pallas XIC path: TPU backends, single device (multi-chip runs keep
-    the XLA path until the kernel is wrapped in shard_map)."""
-    import jax
-
-    return jax.default_backend() not in ("cpu",) and len(jax.devices()) == 1
+# shared policy alias (search/common.py)
+_pallas_available = pallas_available
 
 
 def _empty_psm_df() -> pd.DataFrame:

@@ -27,6 +27,13 @@ from alphadia_tpu.ops.selection import (
 from alphadia_tpu.ops.smooth import gaussian_kernel_1d, rt_kernel_sigma
 from alphadia_tpu.rawdata import DiaData
 from alphadia_tpu.reporting import logger
+from alphadia_tpu.search.common import (
+    assign_observation_slots,
+    data_parallel_mesh,
+    first_k_true,
+    pallas_available,
+    top_k_fragment_order,
+)
 from alphadia_tpu.utils.device import (
     bucket_window,
     effective_batch,
@@ -62,6 +69,9 @@ class SelectionConfig:
     join_close_candidates: bool = True
     join_close_candidates_cycle_threshold: float = 0.6
     peak_cycle_tolerance: int = 3
+    # 4D close-peak suppression: both tolerances must hold (reference
+    # _join_close_peaks(scan_tol=3, cycle_tol=3))
+    peak_scan_tolerance: int = 3
     # pallas DMA kernel for XIC extraction (TPU only; XLA path on CPU)
     use_pallas: bool = True
     # merge adjacent cycles when the RT window exceeds 512 cycles
@@ -141,28 +151,17 @@ class CandidateSelection:
             fmz = np.pad(fmz, ((0, 0), (0, pad_w)))
             fint = np.pad(fint, ((0, 0), (0, pad_w)), constant_values=-1.0)
             valid = np.pad(valid, ((0, 0), (0, pad_w)))
-        order = np.argsort(np.where(valid, fint, -1.0), axis=1)[:, ::-1][:, :KF]
+        # top-k order shared with scoring: both stages pick the same
+        # fragment subset (ties included)
+        order = top_k_fragment_order(valid, fint, KF)
         sel_valid = np.take_along_axis(valid, order, axis=1)
         sel_mz = np.where(sel_valid, np.take_along_axis(fmz, order, axis=1), 0.0)
         n_valid_fragments = sel_valid.sum(axis=1).astype(np.int32)
 
-        # --- cycle-slot assignment ------------------------------------
-        win_lo = dia.cycle[0, :, 0, 0].astype(np.float32)  # [n_slots]
-        win_hi = dia.cycle[0, :, 0, 1].astype(np.float32)
-        is_ms2 = win_lo >= 0
-        # MS2 slots whose isolation window overlaps the isotope envelope
-        iso_hi = iso_mz[:, -1]
-        match2 = is_ms2[None, :] & (win_hi[None, :] > mono_mz[:, None]) & (
-            win_lo[None, :] < iso_hi[:, None]
+        # --- cycle-slot assignment (shared policy with scoring) --------
+        ms2_slots, ms1_slots, _, _ = assign_observation_slots(
+            dia, mono_mz, iso_mz, cfg.max_ms2_obs, cfg.max_ms1_obs
         )
-        ms2_slots = _first_k_true(match2, cfg.max_ms2_obs)
-        ms1_all = np.nonzero(~is_ms2)[0][: cfg.max_ms1_obs]
-        if dia.has_ms1 and len(ms1_all):
-            ms1_slots = np.broadcast_to(
-                ms1_all.astype(np.int32), (n, len(ms1_all))
-            ).copy()
-        else:
-            ms1_slots = np.full((n, 1), -1, np.int32)
 
         # fragment queries: KF fragments x max_ms2_obs observations
         QF = KF * cfg.max_ms2_obs
@@ -196,18 +195,7 @@ class CandidateSelection:
 
     # ------------------------------------------------------------------
     def _mesh(self):
-        """Data-parallel mesh when more than one device is visible
-        (``tpu.mesh_devices`` caps the data-parallel axis)."""
-        import jax
-
-        n = len(jax.devices())
-        if self.config.mesh_devices:
-            n = min(n, int(self.config.mesh_devices))
-        if n <= 1 or self.config.batch_size % n:
-            return None
-        from alphadia_tpu.parallel.mesh import make_mesh
-
-        return make_mesh(n)
+        return data_parallel_mesh(self.config.mesh_devices, self.config.batch_size)
 
     def __call__(self, thread_count: int | None = None) -> pd.DataFrame:
         cfg = self.config
@@ -278,6 +266,8 @@ class CandidateSelection:
                 f_mobility=cfg.f_mobility,
                 center_fraction=cfg.center_fraction,
                 peak_cycle_tolerance=tol_k,
+                peak_scan_tolerance=cfg.peak_scan_tolerance,
+                join_close_candidates=cfg.join_close_candidates,
             )
         else:
             static_kw = dict(
@@ -513,23 +503,9 @@ class CandidateSelection:
         return candidates
 
 
-def _pallas_available() -> bool:
-    """Pallas XIC path: TPU backends, single device (multi-chip runs keep
-    the XLA path until the kernel is wrapped in shard_map)."""
-    import jax
-
-    return jax.default_backend() not in ("cpu",) and len(jax.devices()) == 1
-
-
-def _first_k_true(mask: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the first k true columns per row; -1 where fewer."""
-    n = mask.shape[0]
-    out = np.full((n, k), -1, np.int32)
-    # argsort of ~mask is stable: true columns first in column order
-    order = np.argsort(~mask, axis=1, kind="stable")[:, :k]
-    has = np.take_along_axis(mask, order, axis=1)
-    out = np.where(has, order.astype(np.int32), -1)
-    return out
+# kept as an alias: the shared policy lives in search/common.py
+_pallas_available = pallas_available
+_first_k_true = first_k_true
 
 
 def _empty_candidates_df() -> pd.DataFrame:

@@ -61,3 +61,43 @@ def test_symmetric_limits_2d_shapes_and_bounds(rng):
     assert (c0 <= cc).all() and (c1 > cc).all()
     assert (s1 - s0 >= 2 * 3).all() and (s1 - s0 <= 2 * 8 + 1).all()
     assert (c1 - c0 >= 2 * 2).all() and (c1 - c0 <= 2 * 10 + 1).all()
+
+
+def test_suppress_close_peaks_2d_requires_both_dims():
+    """Mobility-separated co-eluting peaks survive; only peaks close in
+    BOTH scan and cycle are suppressed (reference _join_close_peaks)."""
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import suppress_close_peaks_2d
+
+    scan = jnp.asarray([[10, 25, 11]], jnp.int32)
+    cyc = jnp.asarray([[20, 21, 22]], jnp.int32)
+    score = jnp.asarray([[9.0, 8.0, 7.0]], jnp.float32)
+    valid = jnp.asarray([[True, True, True]])
+    keep = np.asarray(
+        suppress_close_peaks_2d(scan, cyc, score, valid, 3, 3)
+    )[0]
+    # peak 1: same cycles but 15 scan bins away -> kept
+    # peak 2: within 3 cycles AND 1 scan bin of peak 0 -> suppressed
+    assert keep.tolist() == [True, True, False]
+
+
+def test_join_overlapping_2d_merges_union_extents():
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.peaks import join_overlapping_2d
+
+    ss = jnp.asarray([[4, 6, 0]], jnp.int32)
+    se = jnp.asarray([[12, 14, 2]], jnp.int32)
+    cs = jnp.asarray([[10, 12, 30]], jnp.int32)
+    ce = jnp.asarray([[20, 21, 40]], jnp.int32)
+    keep = jnp.asarray([[True, True, True]])
+    ss2, se2, cs2, ce2, keep2 = join_overlapping_2d(
+        ss, se, cs, ce, keep, p_scan_overlap=0.01, p_cycle_overlap=0.6
+    )
+    keep2 = np.asarray(keep2)[0]
+    # candidate 1 overlaps candidate 0 (cycle overlap 8/10, scan 6/8) ->
+    # merged into 0 with union limits; candidate 2 is disjoint -> kept
+    assert keep2.tolist() == [True, False, True]
+    assert (int(np.asarray(ss2)[0, 0]), int(np.asarray(se2)[0, 0])) == (4, 14)
+    assert (int(np.asarray(cs2)[0, 0]), int(np.asarray(ce2)[0, 0])) == (10, 21)

@@ -133,11 +133,12 @@ class TargetDecoyFDR:
                 psm_df, "decoy_proba", self._decoy_column,
                 r_target_decoy=r_target_decoy,
             )
-            psm_df = FragmentCompetition()(
-                psm_df[psm_df["qval"] < competition_heuristic],
-                fragments_df,
-                dia_cycle,
-            )
+            passing = psm_df[psm_df["qval"] < competition_heuristic]
+            # weak batches where nothing clears the heuristic keep the
+            # full (uncompeted) table instead of discarding every PSM
+            # (mirrors the guard in fdr/fdr.py)
+            if len(passing):
+                psm_df = FragmentCompetition()(passing, fragments_df, dia_cycle)
 
         if self._competition_columns:
             psm_df = keep_best(

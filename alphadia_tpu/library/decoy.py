@@ -185,7 +185,9 @@ class DecoyGenerator(ProcessingStep):
         elif self.decoy_type == "pseudo_reverse":
             new_seqs = []
             new_sites = []
-            for s, sites in zip(ddf["sequence"], ddf.get("mod_sites", "")):
+            from alphadia_tpu.library.speclib import _str_col
+
+            for s, sites in zip(ddf["sequence"], _str_col(ddf, "mod_sites")):
                 n = len(s)
                 perm = np.concatenate([np.arange(n - 1)[::-1], [n - 1]])
                 inv = np.argsort(perm)

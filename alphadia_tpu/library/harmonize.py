@@ -70,16 +70,26 @@ class AnnotateFasta(ProcessingStep):
         seqs = lib.precursor_df["sequence"].unique()
         pep_prot: dict[str, set] = {s: set() for s in seqs}
         pep_gene: dict[str, set] = {s: set() for s in seqs}
-        # Aho-Corasick-free simple scan: index peptides by 6-mer prefix
+        # Aho-Corasick-free simple scan: index peptides by 6-mer prefix;
+        # peptides shorter than 6 residues get a substring scan of their
+        # own (a 6-mer window probe can never match them)
         by_prefix: dict[str, list[str]] = {}
+        short = []
         for s in seqs:
-            by_prefix.setdefault(s[:6], []).append(s)
+            if len(s) >= 6:
+                by_prefix.setdefault(s[:6], []).append(s)
+            else:
+                short.append(s)
         for prot, gene, _, pseq in proteins.itertuples(index=False):
             for i in range(len(pseq) - 5):
                 for cand in by_prefix.get(pseq[i : i + 6], ()):
                     if pseq.startswith(cand, i):
                         pep_prot[cand].add(prot)
                         pep_gene[cand].add(gene)
+            for cand in short:
+                if cand in pseq:
+                    pep_prot[cand].add(prot)
+                    pep_gene[cand].add(gene)
         df = lib.precursor_df
         df["proteins"] = [";".join(sorted(pep_prot[s])) for s in df["sequence"]]
         df["genes"] = [";".join(sorted(pep_gene[s])) for s in df["sequence"]]

@@ -26,6 +26,16 @@ import xxhash
 from alphadia_tpu.library import chem
 
 
+def _str_col(df: pd.DataFrame, name: str):
+    """Column as an iterable of strings; a SERIES of '' when absent.
+
+    ``df.get(name, "")`` returns the scalar '' for a missing column —
+    zipping against it yields ZERO iterations and silently produces empty
+    results.
+    """
+    return df[name] if name in df.columns else pd.Series([""] * len(df))
+
+
 def mod_seq_hash(sequence, mods) -> np.ndarray:
     """64-bit xxhash of modified sequence (vectorized over rows)."""
     return np.array(
@@ -71,14 +81,22 @@ class SpecLibBase:
             [
                 chem.precursor_mz(s, int(z), m, ms)
                 for s, z, m, ms in zip(
-                    df["sequence"], df["charge"], df.get("mods", ""), df.get("mod_sites", "")
+                    df["sequence"], df["charge"],
+                    _str_col(df, "mods"), _str_col(df, "mod_sites"),
                 )
             ],
             dtype=np.float32,
         )
 
     def calc_fragment_mz(self, max_charge: int = 2, types: tuple = ("b", "y")) -> None:
-        """(Re)compute the fragment m/z matrices from sequences."""
+        """(Re)compute the fragment m/z matrices from sequences.
+
+        When a fragment intensity matrix exists, its rows are remapped
+        into the new layout first — precursor rows may have been
+        reordered/subset since the intensities were laid out (multiplex
+        channel sort, decoy generation), and leaving the old layout would
+        silently pair each precursor with another one's intensities.
+        """
         df = self.precursor_df
         naa = df["sequence"].str.len().to_numpy()
         n_rows = int((naa - 1).sum())
@@ -86,8 +104,25 @@ class SpecLibBase:
         mz = np.zeros((n_rows, len(cols)), dtype=np.float32)
         start = np.zeros(len(df), dtype=np.int64)
         np.cumsum(naa[:-1] - 1, out=start[1:])
+
+        if (
+            self.fragment_intensity_df is not None
+            and "frag_start_idx" in df.columns
+        ):
+            old_start = df["frag_start_idx"].to_numpy(np.int64)
+            old_int = self.fragment_intensity_df.to_numpy()
+            new_int = np.zeros((n_rows, old_int.shape[1]), dtype=old_int.dtype)
+            for i in range(len(df)):
+                k = int(naa[i]) - 1
+                new_int[start[i] : start[i] + k] = old_int[
+                    old_start[i] : old_start[i] + k
+                ]
+            self.fragment_intensity_df = pd.DataFrame(
+                new_int, columns=self.fragment_intensity_df.columns
+            )
+
         for i, (s, m, ms) in enumerate(
-            zip(df["sequence"], df.get("mods", ""), df.get("mod_sites", ""))
+            zip(df["sequence"], _str_col(df, "mods"), _str_col(df, "mod_sites"))
         ):
             ladders = chem.fragment_mz_arrays(s, m, ms, max_charge=max_charge, types=types)
             a = start[i]

@@ -162,7 +162,8 @@ class SearchPlanOutput:
             run = Path(folder).name
             run_psm = psm_df[psm_df["run"] == run]
             opt_state = self._load_optimization_state(Path(folder))
-            stats.append(build_stat_df(run, run_psm, opt_state))
+            cal_metrics = self._load_calibration_metrics(Path(folder))
+            stats.append(build_stat_df(run, run_psm, opt_state, cal_metrics))
         stat_df = pd.concat(stats, ignore_index=True)
         stat_df.to_csv(self.output_folder / f"{STAT_OUTPUT_NAME}.tsv", sep="\t", index=False)
         return stat_df
@@ -182,6 +183,24 @@ class SearchPlanOutput:
                 for k in ("ms1_error", "ms2_error", "rt_error", "mobility_error")
                 if hasattr(om, k)
             }
+        except Exception:
+            return None
+
+    @staticmethod
+    def _load_calibration_metrics(folder: Path) -> dict | None:
+        """Per-run calibration accuracy/precision for stat.tsv
+        (calibration.* columns, read from the run's manager checkpoint)."""
+        import pickle
+
+        from alphadia_tpu.outputs.df_builders import collect_calibration_metrics
+
+        path = folder / "calibration_manager.pkl"
+        if not path.exists():
+            return None
+        try:
+            with open(path, "rb") as f:
+                cm = pickle.load(f)
+            return collect_calibration_metrics(cm)
         except Exception:
             return None
 

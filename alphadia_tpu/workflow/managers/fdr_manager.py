@@ -97,8 +97,17 @@ class FDRManager(BaseManager):
             raise NotImplementedError(f"decoy strategy {decoy_strategy}")
 
         if train_new:
-            self.classifier_store.append(classifier)
-            logger.info(f"FDR classifier version {self.current_version} trained")
+            if classifier.fitted:
+                self.classifier_store.append(classifier)
+                logger.info(f"FDR classifier version {self.current_version} trained")
+            else:
+                # perform_fdr took a fallback path (logistic regression /
+                # zero decoys) and never fit the NN — storing it would
+                # make the current version unusable for predict()
+                logger.info(
+                    "FDR used a fallback estimator; classifier store "
+                    f"stays at version {self.current_version}"
+                )
         return psm_df
 
     def _get_classifier(self, version: int) -> BinaryClassifier:
@@ -151,6 +160,11 @@ class FDRManager(BaseManager):
 
     def predict(self, features_df: pd.DataFrame, version: int = -1) -> pd.DataFrame:
         """Score with an existing classifier without retraining."""
+        if not self.classifier_store:
+            raise RuntimeError(
+                "no trained FDR classifier available yet (all fits so far "
+                "used fallback estimators)"
+            )
         clf = self.classifier_store[version]
         available = [c for c in self.feature_columns if c in features_df.columns]
         X = features_df[available].to_numpy(np.float32)

@@ -49,7 +49,11 @@ def init_spectral_library(
     from alphadia_tpu.workflow.optimizers.optimization_lock import subset_flat_library
 
     out = subset_flat_library(prec, spectral_library.fragment_df, mask.to_numpy())
+    # the unfiltered frames travel together: precursor_df_unfiltered's
+    # flat_frag_* indices point into the ORIGINAL fragment table, not the
+    # compacted one (multiplex requant re-subsets from these)
     out.precursor_df_unfiltered = prec
+    out.fragment_df_unfiltered = spectral_library.fragment_df
     n_after = int((out.precursor_df["decoy"] == 0).sum())
     logger.log(
         25,

@@ -142,10 +142,15 @@ class MultiplexingHandler:
         if len(candidates) == 0:
             return pd.DataFrame(), pd.DataFrame()
 
-        # rescore all channel candidates against the full (unfiltered) library
+        # rescore all channel candidates against the full (unfiltered)
+        # library; unfiltered flat_frag_* indices address the ORIGINAL
+        # fragment table, so subset from that, not the compacted one
+        frag_unfiltered = getattr(
+            spectral_library, "fragment_df_unfiltered", spectral_library.fragment_df
+        )
         lib = subset_flat_library(
             unfiltered,
-            spectral_library.fragment_df,
+            frag_unfiltered,
             unfiltered["precursor_idx"]
             .isin(candidates["precursor_idx"])
             .to_numpy(),

@@ -111,13 +111,26 @@ def test_fresh_manager_warm_starts_from_packaged_default():
 
 def test_channel_wise_strategy_fits_per_channel_qvalues():
     mgr = _manager()
+    # >= 500 PSMs per channel so the NN trains (below that perform_fdr
+    # falls back to logistic regression and stores no classifier version)
     out = mgr.fit_predict(
-        _features(n=800, seed=5, channels=(0, 4)),
+        _features(n=2400, seed=5, channels=(0, 4)),
         decoy_strategy="precursor_channel_wise",
     )
     assert set(out["channel"].unique()) == {0, 4}
     assert (out["qval"] <= 1.0).all()
     assert mgr.current_version == 0  # one classifier across channels
+
+
+def test_fallback_fit_does_not_store_unfitted_classifier():
+    """Small batches use the logistic-regression fallback; the unfitted NN
+    must not land in the version store where predict() would crash on it."""
+    mgr = _manager()
+    out = mgr.fit_predict(_features(n=80, seed=6))
+    assert "qval" in out.columns  # fallback still produced q-values
+    assert mgr.current_version == -1
+    with pytest.raises(RuntimeError, match="no trained FDR classifier"):
+        mgr.predict(_features(n=40, seed=7))
 
 
 def test_unknown_strategy_raises():

@@ -212,3 +212,45 @@ def test_generate_flat_decoys(fasta):
     # idempotent: decoys present -> returned unchanged
     again = generate_flat_decoys(out)
     assert len(again.precursor_df) == len(df)
+
+
+def test_calc_fragment_mz_remaps_intensities_after_reorder():
+    """Reordered precursor rows (multiplex channel sort, decoy append)
+    must keep each precursor paired with ITS fragment intensities when
+    the m/z matrix is re-laid-out."""
+    import numpy as np
+    import pandas as pd
+
+    from alphadia_tpu.library.speclib import SpecLibBase
+
+    prec = pd.DataFrame(
+        {
+            "sequence": ["PEPTIDEK", "ACDK"],
+            "charge": [2, 2],
+            "mods": ["", ""],
+            "mod_sites": ["", ""],
+        }
+    )
+    lib = SpecLibBase(prec)
+    lib.calc_fragment_mz()
+    # distinct per-precursor intensity patterns
+    n_rows = len(lib.fragment_mz_df)
+    inten = np.zeros((n_rows, len(lib.fragment_mz_df.columns)), np.float32)
+    s0 = int(lib.precursor_df["frag_start_idx"].iloc[0])
+    e0 = int(lib.precursor_df["frag_stop_idx"].iloc[0])
+    s1 = int(lib.precursor_df["frag_start_idx"].iloc[1])
+    e1 = int(lib.precursor_df["frag_stop_idx"].iloc[1])
+    inten[s0:e0] = 1.0
+    inten[s1:e1] = 2.0
+    lib.fragment_intensity_df = pd.DataFrame(
+        inten, columns=lib.fragment_mz_df.columns
+    )
+
+    # reverse the precursor rows and recompute
+    lib.precursor_df = lib.precursor_df.iloc[::-1].reset_index(drop=True)
+    lib.calc_fragment_mz()
+    for i, expect in [(0, 2.0), (1, 1.0)]:  # ACDK first now
+        a = int(lib.precursor_df["frag_start_idx"].iloc[i])
+        b = int(lib.precursor_df["frag_stop_idx"].iloc[i])
+        got = lib.fragment_intensity_df.to_numpy()[a:b]
+        assert (got == expect).all(), (i, got)

@@ -108,3 +108,60 @@ def test_channel_fdr_channel_wise():
     assert q8.median() > q4.median()
     # decoy rows are the null, never discoveries
     assert (out.loc[out["channel"] == 12, "qval"] == 1.0).all()
+
+
+def test_init_spectral_library_carries_unfiltered_fragment_frame():
+    """Requant re-subsets from (precursor_df_unfiltered,
+    fragment_df_unfiltered): the unfiltered indices address the ORIGINAL
+    fragment table, so each precursor must get back ITS fragments even
+    after init filtering compacted the active frames."""
+    import numpy as np
+    import pandas as pd
+
+    from alphadia_tpu.library.speclib import SpecLibFlat
+    from alphadia_tpu.workflow.optimizers.optimization_lock import (
+        subset_flat_library,
+    )
+    from alphadia_tpu.workflow.peptidecentric.library_init import (
+        init_spectral_library,
+    )
+
+    # precursor 0 sits outside the quad range and is filtered at init
+    prec = pd.DataFrame(
+        {
+            "precursor_idx": [0, 1, 2],
+            "elution_group_idx": [0, 1, 2],
+            "decoy": [0, 0, 0],
+            "channel": [0, 0, 0],
+            "mz_library": [150.0, 450.0, 470.0],
+            "rt_library": [0.2, 0.5, 0.8],
+            "flat_frag_start_idx": [0, 3, 6],
+            "flat_frag_stop_idx": [3, 6, 9],
+        }
+    )
+    frag = pd.DataFrame(
+        {
+            "mz_library": np.arange(9, dtype=np.float32) + 100.0,
+            "intensity": np.ones(9, np.float32),
+        }
+    )
+    cycle = np.zeros((1, 2, 1, 2))
+    cycle[0, 0] = [-1.0, -1.0]
+    cycle[0, 1] = [400.0, 500.0]
+    rt_values = np.linspace(0, 100, 50)
+
+    out = init_spectral_library(cycle, rt_values, SpecLibFlat(prec, frag))
+    assert len(out.precursor_df) == 2  # precursor 0 dropped
+    assert hasattr(out, "fragment_df_unfiltered")
+
+    # requant path: subset precursor 2 from the UNFILTERED pair
+    unf = out.precursor_df_unfiltered
+    lib2 = subset_flat_library(
+        unf, out.fragment_df_unfiltered, (unf["precursor_idx"] == 2).to_numpy()
+    )
+    np.testing.assert_allclose(
+        lib2.fragment_df["mz_library"].to_numpy(), [106.0, 107.0, 108.0]
+    )
+    # the compacted frame would have returned the WRONG rows (or run past
+    # the end) for these original indices
+    assert len(out.fragment_df) == 6

@@ -90,7 +90,7 @@ def main() -> None:
 
     psm, frag = _frame(train_seqs, physics, rng)
     mgr = FinetuneManager(
-        config={"epochs": 40, "batch_size": 1024, "max_lr": 1e-4}, random_state=0
+        config={"epochs": 80, "batch_size": 1024, "max_lr": 1e-4}, random_state=0
     )
     mgr.finetune_rt(psm)
     mgr.finetune_charge(psm)

@@ -69,6 +69,9 @@ class _Trainer:
         self.validation_fraction = cfg.get("validation_fraction", 0.2)
         self.test_fraction = cfg.get("test_fraction", 0.1)
         self.test_interval = max(int(cfg.get("test_interval", 1)), 1)
+        # None = auto (scan on accelerators, eager steps on CPU); tests
+        # pin it to prove both strategies train identically
+        self.force_scan: bool | None = None
         self.nce = cfg.get("nce", 25)
         self.instrument = cfg.get("instrument", "Lumos")
         total = self.train_fraction + self.validation_fraction + self.test_fraction
@@ -140,7 +143,11 @@ class _Trainer:
             return params, opt_state
 
         train_step = jax.jit(_train_body)
-        use_scan = jax.default_backend() != "cpu"
+        use_scan = (
+            self.force_scan
+            if self.force_scan is not None
+            else jax.default_backend() != "cpu"
+        )
 
         @jax.jit
         def eval_loss(params, batch_in, batch_t):

@@ -136,3 +136,21 @@ def test_accumulate_transfer_library(tmp_path, rng):
     assert (frag["correlation"] >= 0.75 * frag["corr_median"] - 1e-9).all()
     # top_k_samples=1: one run per precursor hash
     assert psm.groupby("mod_seq_charge_hash").size().max() == 1
+
+
+def test_scan_and_loop_strategies_train_identically(rng):
+    """The per-epoch lax.scan (accelerators) and the eager per-batch loop
+    (CPU) must be numerically equivalent."""
+    import numpy as np
+
+    seqs, rts = _peptides(150, rng)
+    df = pd.DataFrame(
+        {"sequence": seqs, "mods": "", "mod_sites": "", "rt_norm": rts}
+    )
+    preds = {}
+    for strategy in (False, True):
+        mgr = FinetuneManager({"epochs": 3, "batch_size": 64}, random_state=4)
+        mgr.trainer.force_scan = strategy
+        mgr.finetune_rt(df)
+        preds[strategy] = mgr.predict_rt(seqs[:20])
+    np.testing.assert_allclose(preds[False], preds[True], atol=1e-5)

@@ -90,7 +90,9 @@ def _get_raw_path_list_from_args_and_config(args, config: dict) -> list[str]:
     pattern = re.compile(args.regex)
     for directory in args.directory:
         for p in sorted(Path(directory).iterdir()):
-            if p.is_file() and pattern.search(p.name):
+            # Bruker .d raw "files" are directories
+            is_raw = p.is_file() or (p.is_dir() and p.suffix.lower() == ".d")
+            if is_raw and pattern.search(p.name):
                 paths.append(str(p))
     return paths
 
@@ -114,16 +116,23 @@ def run(argv: list[str] | None = None) -> None:
 
         jax.config.update("jax_platforms", platform)
 
-    if not args.output:
-        parser.error("-o/--output is required")
-
-    config = _get_config_from_args(args)
-    cli_config = _get_cli_config(args, config)
-    output = args.output or config.get("output_directory")
-
     from alphadia_tpu.search_plan import SearchPlan
 
     try:
+        # argument/config assembly failures are USER errors (exit 127),
+        # same taxonomy as search-time input problems: missing --config
+        # file, malformed --config-dict JSON, nonexistent --directory
+        try:
+            config = _get_config_from_args(args)
+            cli_config = _get_cli_config(args, config)
+        except (OSError, ValueError, KeyError, re.error, yaml.YAMLError) as e:
+            raise UserError(f"invalid arguments/config: {e}") from e
+        output = args.output or config.get("output_directory")
+        if not output:
+            raise UserError(
+                "-o/--output is required (or output_directory in --config)"
+            )
+
         SearchPlan(output, config=config, cli_config=cli_config).run_plan()
     except UserError as e:
         logger.error(f"user error: {e}")

@@ -36,7 +36,20 @@ SECTIONS = [
 _ADVANCED = {"tpu", "search_initial", "transfer_library", "transfer_learning"}
 
 
-def _type_of(v):
+# null defaults carry no type information; without an explicit entry the
+# GUI would submit them as strings (np.random.default_rng("42") crashes)
+_NULL_TYPES = {
+    ("general", "random_state"): "integer",
+    ("general", "profile_directory"): "string",
+    ("tpu", "mesh_devices"): "integer",
+    ("library_prediction", "peptdeep_model_path"): "string",
+    ("optimization", "order_of_optimization"): "list",
+}
+
+
+def _type_of(v, section=None, key=None):
+    if v is None:
+        return _NULL_TYPES.get((section, key), "string")
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
@@ -93,7 +106,7 @@ def build_schema() -> dict:
                 "name": _title(key),
                 "default": val,
                 "description": comments.get((sec_id, key), ""),
-                "type": _type_of(val),
+                "type": _type_of(val, sec_id, key),
             }
             for key, val in (cfg.get(sec_id) or {}).items()
         ]

@@ -112,7 +112,11 @@ class JobManager:
                 )
                 info["returncode"] = rc
                 with self._lock:
-                    self._info = dict(info)
+                    # compare-and-set: a new job may have started while we
+                    # polled outside the lock — never clobber its state
+                    # with this (now stale) terminal record
+                    if self._proc is proc:
+                        self._info = dict(info)
         log_path = info.get("log_path")
         if log_path and Path(log_path).exists():
             # the front-end polls this every ~2 s: read only the tail,

@@ -31,6 +31,18 @@ MBR_EXTRA = {
 }
 
 
+def _merge(*layers: dict) -> dict:
+    """Deep-merge dict layers left to right (later layers win)."""
+    out: dict = {}
+    for layer in layers:
+        for k, v in layer.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = _merge(out[k], v)
+            else:
+                out[k] = v
+    return out
+
+
 class SearchPlan:
     def __init__(self, output_directory: str, config: dict | None = None, cli_config: dict | None = None):
         self.output_directory = Path(output_directory)
@@ -58,13 +70,30 @@ class SearchPlan:
         if self.mbr_step_enabled:
             logger.log(25, "=== multistep: library step ===")
             library_dir = self.output_directory / LIBRARY_STEP_NAME
-            self.run_step(library_dir, {**extra, "general": {"save_mbr_library": True}})
+            self.run_step(
+                library_dir,
+                _merge(extra, {"general": {"save_mbr_library": True}}),
+            )
             mbr_lib = library_dir / "speclib.mbr.hdf"
             logger.log(25, "=== multistep: mbr step ===")
-            mbr_extra = {**MBR_EXTRA}
+            # the MBR step inherits the transfer extras (tuned model path,
+            # transfer tolerances) and the LIBRARY step's optimized
+            # tolerances — without them it would re-optimize from the wide
+            # initial defaults and, if the MBR library failed to build,
+            # rebuild the base library without the fine-tuned model
+            mbr_extra = _merge(
+                extra,
+                self._get_optimized_values_config(library_dir),
+                MBR_EXTRA,
+            )
             if mbr_lib.exists():
-                mbr_extra["library_path"] = str(mbr_lib)
-                mbr_extra["general"] = {"input_library_type": "flat"}
+                mbr_extra = _merge(
+                    mbr_extra,
+                    {
+                        "library_path": str(mbr_lib),
+                        "general": {"input_library_type": "flat"},
+                    },
+                )
             self.run_step(self.output_directory, mbr_extra)
         else:
             self.run_step(self.output_directory, extra)

@@ -193,17 +193,32 @@ class SearchStep:
 
     # ------------------------------------------------------------------
     def run(self) -> None:
+        # multi-host wiring must happen before ANY jax computation —
+        # library prediction below already runs the models, after which
+        # jax.distributed.initialize refuses to start
+        from alphadia_tpu.parallel.distributed import (
+            initialize_distributed,
+            shard_files_for_host,
+        )
+
+        is_distributed = initialize_distributed()
+
         self.spectral_library = self.load_library()
 
         quant_dir = Path(
             self.config["quant_directory"]
             or self.output_folder / QUANT_FOLDER_NAME
         )
-        folder_list = []
-        for raw_path in self.raw_path_list:
+        all_files = list(self.config["raw_paths"] or [])
+        my_files = shard_files_for_host(all_files) if is_distributed else all_files
+        if is_distributed:
+            logger.log(
+                25,
+                f"distributed: this host searches {len(my_files)}/{len(all_files)} files",
+            )
+        for raw_path in my_files:
             raw_name = Path(raw_path).stem
             run_folder = quant_dir / raw_name
-            folder_list.append(run_folder)
 
             psm_path = run_folder / SearchStepFiles.PSM_FILE_NAME
             if self.config["general"]["reuse_quant"] and psm_path.exists():
@@ -222,6 +237,21 @@ class SearchStep:
                 logger.error(f"{raw_name} failed: {e}\n{traceback.format_exc()}")
                 if self.config["general"]["fail_fast"]:
                     raise
+
+        # cross-run aggregation covers EVERY run (all hosts' quant
+        # folders on the shared filesystem), and exactly one host builds
+        # it — concurrent builders would race on the same output tables
+        folder_list = [quant_dir / Path(p).stem for p in all_files]
+        if is_distributed:
+            import jax
+            from jax.experimental import multihost_utils
+
+            # barrier: aggregation must not start before every host has
+            # finished writing its per-run quant artifacts
+            multihost_utils.sync_global_devices("alphadia_tpu_quant_done")
+            if jax.process_index() != 0:
+                logger.log(25, "distributed: aggregation runs on process 0")
+                return
 
         output = SearchPlanOutput(self.config, self.output_folder)
         output.build(folder_list, self.spectral_library)

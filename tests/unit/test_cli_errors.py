@@ -69,3 +69,55 @@ def test_invalid_config_dict_is_user_error(tmp_path):
 def test_error_hierarchy():
     assert issubclass(NoPsmFoundError, BusinessError)
     assert not issubclass(NoPsmFoundError, UserError)
+
+
+def test_missing_config_file_is_user_error(tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        run(["-o", str(tmp_path / "out"), "--config", str(tmp_path / "nope.yaml")])
+    assert exc.value.code == 127
+
+
+def test_malformed_config_dict_is_user_error(tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        run(["-o", str(tmp_path / "out"), "--config-dict", "{not json"])
+    assert exc.value.code == 127
+
+
+def test_nonexistent_directory_is_user_error(tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        run(["-o", str(tmp_path / "out"), "-d", str(tmp_path / "missing")])
+    assert exc.value.code == 127
+
+
+def test_output_from_config_file(tmp_path, monkeypatch):
+    """output_directory in the YAML config satisfies the -o requirement."""
+    import yaml as _yaml
+
+    from alphadia_tpu.search_plan import SearchPlan
+
+    seen = {}
+    monkeypatch.setattr(
+        SearchPlan, "run_plan", lambda self: seen.setdefault("out", str(self.output_directory))
+    )
+    cfg = tmp_path / "run.yaml"
+    cfg.write_text(_yaml.safe_dump({"output_directory": str(tmp_path / "res")}))
+    run(["--config", str(cfg)])
+    assert seen["out"] == str(tmp_path / "res")
+
+
+def test_directory_scan_includes_bruker_d(tmp_path, monkeypatch):
+    """Bruker .d raw 'files' are directories and must be picked up by -d."""
+    from alphadia_tpu.search_plan import SearchPlan
+
+    (tmp_path / "sample1.d").mkdir()
+    (tmp_path / "run2.mzML").write_text("")
+    (tmp_path / "notes.txt").write_text("")
+    captured = {}
+
+    def fake_run_plan(self):
+        captured["raw"] = self.cli_config.get("raw_paths", [])
+
+    monkeypatch.setattr(SearchPlan, "run_plan", fake_run_plan)
+    run(["-o", str(tmp_path / "out"), "-d", str(tmp_path), "--regex", r"\.(d|mzML)$"])
+    names = [p.rsplit("/", 1)[-1] for p in captured["raw"]]
+    assert names == ["run2.mzML", "sample1.d"] or names == ["sample1.d", "run2.mzML"]

@@ -135,3 +135,37 @@ def test_stat_tsv_with_nan_column(tmp_path):
     ).to_csv(tmp_path / "stat.tsv", sep="\t", index=False)
     out = SearchPlan._get_optimized_values_config(tmp_path)
     assert out == {"search": {"target_ms2_tolerance": 7.0}}
+
+
+def test_mbr_inherits_transfer_and_library_forwarding(tmp_path, recorded):
+    """The final MBR step must see the transfer extras (tuned model path,
+    tolerances) plus the LIBRARY step's optimized tolerances — not start
+    from the wide defaults."""
+    transfer_dir = tmp_path / TRANSFER_STEP_NAME
+    transfer_dir.mkdir(parents=True)
+    (transfer_dir / "peptdeep.transfer").mkdir()
+    pd.DataFrame(
+        {"optimization.ms1_error": [8.0], "optimization.ms2_error": [11.0]}
+    ).to_csv(transfer_dir / "stat.tsv", sep="\t", index=False)
+    lib_dir = tmp_path / LIBRARY_STEP_NAME
+    lib_dir.mkdir(parents=True)
+    pd.DataFrame(
+        {"optimization.ms1_error": [4.0], "optimization.ms2_error": [7.0]}
+    ).to_csv(lib_dir / "stat.tsv", sep="\t", index=False)
+
+    SearchPlan(
+        str(tmp_path),
+        config={
+            "general": {"transfer_step_enabled": True, "mbr_step_enabled": True}
+        },
+    ).run_plan()
+    mbr_extra = recorded[2][1]
+    # library step's (tighter) optimized tolerances win over transfer's
+    assert mbr_extra["search"]["target_ms1_tolerance"] == 4.0
+    assert mbr_extra["search"]["target_ms2_tolerance"] == 7.0
+    # the fine-tuned model path survives into the final step
+    assert mbr_extra["library_prediction"]["peptdeep_model_path"] == str(
+        transfer_dir / "peptdeep.transfer"
+    )
+    # and the MBR overrides are still applied
+    assert mbr_extra["fdr"]["inference_strategy"] == "library"

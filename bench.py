@@ -174,6 +174,29 @@ def _roofline(n_candidates: int, scoring_seconds: float) -> dict:
     }
 
 
+def _wait_for_backend(attempts: int = 5, delay_s: float = 120.0) -> None:
+    """The remote-TPU tunnel can be transiently unavailable (observed:
+    multi-hour outages where backend init hangs or raises UNAVAILABLE).
+    Retry with a bounded backoff in a subprocess so a hung init cannot
+    wedge the benchmark itself; fall through after the last attempt and
+    let the real error surface."""
+    probe = "import jax; jax.devices()"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=300
+            )
+            if proc.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"# backend unavailable (attempt {i + 1}/{attempts}); retrying",
+            file=sys.stderr,
+        )
+        time.sleep(delay_s)
+
+
 def main() -> None:
     if "--cpu-baseline" in sys.argv:
         import jax
@@ -185,6 +208,7 @@ def main() -> None:
         print(json.dumps({"cpu_rate": rate}))
         return
 
+    _wait_for_backend()
     rate, phases = measure()
 
     baseline_rate = None

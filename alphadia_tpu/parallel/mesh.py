@@ -17,8 +17,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devices)
     return Mesh(np.array(devices[:n]), (DATA_AXIS,))
 

@@ -23,17 +23,26 @@ def pallas_available() -> bool:
 def data_parallel_mesh(mesh_devices, batch_size: int):
     """Data-parallel mesh when more than one device is visible
     (``tpu.mesh_devices`` caps the data-parallel axis); None when a mesh
-    cannot shard the batch evenly."""
+    cannot shard the batch evenly.
+
+    Under a multi-process (jax.distributed) job the mesh covers LOCAL
+    devices only: file-parallel mode runs a different file on every host,
+    so a global mesh here would issue unsynchronized collectives across
+    processes executing different programs (deadlock). Cross-host
+    batch-parallel execution builds its global mesh explicitly
+    (parallel/distributed.py).
+    """
     import jax
 
-    n = len(jax.devices())
+    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    n = len(devices)
     if mesh_devices:
         n = min(n, int(mesh_devices))
     if n <= 1 or batch_size % n:
         return None
     from alphadia_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(n)
+    return make_mesh(n, devices=devices)
 
 
 def first_k_true(mask: np.ndarray, k: int) -> np.ndarray:

@@ -36,8 +36,9 @@ RUN pip install --no-cache-dir "${JAX_VARIANT}" && \
 
 # prebuild the native peak-store extension into site-packages while still
 # root — at runtime the unprivileged user cannot write there (it would
-# fall back to a ~/.cache build on first use otherwise)
-RUN python -c "from alphadia_tpu.native import get_lib; assert get_lib() is not None, 'native build failed'"
+# fall back to a ~/.cache build on first use otherwise). Portable ISA
+# baseline: the image may run on a different CPU than the build machine.
+RUN ALPHADIA_TPU_NATIVE_ARCH=x86-64-v2 python -c "from alphadia_tpu.native import get_lib; assert get_lib() is not None, 'native build failed'"
 
 USER alphadia
 ENTRYPOINT ["alphadia-tpu"]

@@ -110,16 +110,18 @@ class SpecLibBase:
             and "frag_start_idx" in df.columns
         ):
             old_start = df["frag_start_idx"].to_numpy(np.int64)
-            old_int = self.fragment_intensity_df.to_numpy()
-            new_int = np.zeros((n_rows, old_int.shape[1]), dtype=old_int.dtype)
-            for i in range(len(df)):
-                k = int(naa[i]) - 1
-                new_int[start[i] : start[i] + k] = old_int[
-                    old_start[i] : old_start[i] + k
-                ]
-            self.fragment_intensity_df = pd.DataFrame(
-                new_int, columns=self.fragment_intensity_df.columns
-            )
+            if not np.array_equal(old_start, start):  # identity -> skip
+                counts = naa.astype(np.int64) - 1
+                # vectorized row gather: src = old_start[p] + offset
+                src = (
+                    np.repeat(old_start, counts)
+                    + np.arange(n_rows, dtype=np.int64)
+                    - np.repeat(start, counts)
+                )
+                self.fragment_intensity_df = pd.DataFrame(
+                    self.fragment_intensity_df.to_numpy()[src],
+                    columns=self.fragment_intensity_df.columns,
+                )
 
         for i, (s, m, ms) in enumerate(
             zip(df["sequence"], _str_col(df, "mods"), _str_col(df, "mod_sites"))

@@ -38,9 +38,15 @@ def _lib_candidates() -> list[Path]:
 
 def _build(lib_path: Path) -> bool:
     try:
+        import os
+
         lib_path.parent.mkdir(parents=True, exist_ok=True)
+        # ALPHADIA_TPU_NATIVE_ARCH overrides for builds that must run on a
+        # DIFFERENT host than they compile on (container image prebuilds
+        # pin a portable baseline; -march=native would SIGILL elsewhere)
+        arch = os.environ.get("ALPHADIA_TPU_NATIVE_ARCH", "native")
         cmd = [
-            "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+            "g++", "-O3", f"-march={arch}", "-fopenmp", "-shared", "-fPIC",
             str(_SRC), "-o", str(lib_path),
         ]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

@@ -53,8 +53,12 @@ def find_peaks_profile(score: jax.Array, *, top_n: int):
     return peak_idx.astype(jnp.int32), peak_score, valid
 
 
-def suppress_close_peaks(peak_idx, peak_score, valid, cycle_tolerance: int):
-    """Keep only the best peak within +-cycle_tolerance (peaks sorted desc)."""
+def suppress_close_peaks(peak_idx, valid, cycle_tolerance: int):
+    """Keep only the best peak within +-cycle_tolerance.
+
+    CONTRACT: columns must be score-descending (find_peaks_profile emits
+    them that way) — earlier columns win ties/neighborhoods.
+    """
     C = peak_idx.shape[1]
     keep = valid
     for i in range(1, C):
@@ -244,7 +248,7 @@ def _limits_on_profiles(profiles, center, f, center_fraction, min_size, max_size
 
 
 def suppress_close_peaks_2d(
-    scan_idx, cycle_idx, peak_score, valid, scan_tolerance: int, cycle_tolerance: int
+    scan_idx, cycle_idx, valid, scan_tolerance: int, cycle_tolerance: int
 ):
     """Keep only the best peak within a (scan, cycle) neighborhood.
 
@@ -252,7 +256,8 @@ def suppress_close_peaks_2d(
     scan_tolerance=3, cycle_tolerance=3): a peak is suppressed only when
     BOTH |Δscan| <= scan_tolerance AND |Δcycle| <= cycle_tolerance to a
     better peak — mobility-separated features co-eluting in RT survive.
-    Peaks are score-descending along axis 1.
+    CONTRACT: columns must be score-descending along axis 1
+    (find_peaks_profile_2d emits them that way).
     """
     C = cycle_idx.shape[1]
     keep = valid

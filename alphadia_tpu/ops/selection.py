@@ -151,7 +151,7 @@ def select_candidates_batch(
     score = (feature - mean) / (std + 1e-6)
 
     peak_idx, peak_score, valid = find_peaks_profile(score, top_n=candidate_count)
-    keep = suppress_close_peaks(peak_idx, peak_score, valid, peak_cycle_tolerance)
+    keep = suppress_close_peaks(peak_idx, valid, peak_cycle_tolerance)
 
     start_rel, stop_rel = symmetric_limits_profile(
         score,
@@ -264,6 +264,7 @@ _SCAN_SMOOTH = (0.25, 0.5, 0.25)  # fixed 3-tap kernel along the scan axis
         "peak_cycle_tolerance",
         "peak_scan_tolerance",
         "join_close_candidates",
+        "join_cycle_threshold",
     ),
 )
 def select_candidates_batch_4d(
@@ -300,6 +301,7 @@ def select_candidates_batch_4d(
     peak_cycle_tolerance: int = 3,
     peak_scan_tolerance: int = 3,
     join_close_candidates: bool = True,
+    join_cycle_threshold: float = 0.6,
 ):
     """4D candidate selection for ion-mobility data (reference
     select_candidates 2D path, selection/selection.py:78-544 +
@@ -363,8 +365,7 @@ def select_candidates_batch_4d(
     # features co-eluting in RT stay distinct candidates (reference
     # _join_close_peaks(scan_tol=3, cycle_tol=3))
     keep = suppress_close_peaks_2d(
-        scan_idx, cycle_idx, peak_score, valid,
-        peak_scan_tolerance, peak_cycle_tolerance,
+        scan_idx, cycle_idx, valid, peak_scan_tolerance, peak_cycle_tolerance,
     )
 
     scan_start, scan_stop, start_rel, stop_rel = symmetric_limits_2d(
@@ -382,10 +383,11 @@ def select_candidates_batch_4d(
 
     if join_close_candidates:
         # merge lower-ranked candidates whose (scan, cycle) extent
-        # overlaps a better one (reference _join_overlapping_candidates)
+        # overlaps a better one (reference _join_overlapping_candidates;
+        # p_scan_overlap 0.01 is the reference's fixed default)
         scan_start, scan_stop, start_rel, stop_rel, keep = join_overlapping_2d(
             scan_start, scan_stop, start_rel, stop_rel, keep,
-            p_scan_overlap=0.01, p_cycle_overlap=0.6,
+            p_scan_overlap=0.01, p_cycle_overlap=join_cycle_threshold,
         )
 
     enough_fragments = (n_valid_fragments > 3)[:, None]

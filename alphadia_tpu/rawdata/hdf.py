@@ -78,6 +78,13 @@ def read_alpharaw_hdf(path: str | Path) -> SpectrumData:
         pass
     elif rt_unit in ("", "minute"):
         rt_s = rt_s * 60.0
+        if rt_s.max() > 36000:  # > 10 h after conversion
+            logger.warning(
+                f"{path}: RT range is {rt_s.max() / 3600:.1f} h after the "
+                "minutes->seconds conversion the alphaRaw layout implies — "
+                "if this file stores seconds, set the spectrum_df attribute "
+                "rt_unit='second'"
+            )
     else:
         raise ValueError(f"{path}: unknown rt_unit attribute {rt_unit!r}")
 

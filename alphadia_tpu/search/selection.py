@@ -268,6 +268,7 @@ class CandidateSelection:
                 peak_cycle_tolerance=tol_k,
                 peak_scan_tolerance=cfg.peak_scan_tolerance,
                 join_close_candidates=cfg.join_close_candidates,
+                join_cycle_threshold=cfg.join_close_candidates_cycle_threshold,
             )
         else:
             static_kw = dict(

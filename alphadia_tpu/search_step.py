@@ -83,26 +83,6 @@ class SearchStep:
         self.spectral_library: SpecLibFlat | None = None
         self.errors: list[tuple[str, str]] = []
 
-    # ------------------------------------------------------------------
-    @property
-    def raw_path_list(self) -> list[str]:
-        """Raw files for THIS process: under a multi-host jax.distributed
-        job each host searches its deterministic slice (file-parallel mode,
-        results meet in the shared quant dir; parallel/distributed.py)."""
-        files = list(self.config["raw_paths"] or [])
-        from alphadia_tpu.parallel.distributed import (
-            initialize_distributed,
-            shard_files_for_host,
-        )
-
-        if initialize_distributed():
-            mine = shard_files_for_host(files)
-            logger.log(
-                25, f"distributed: this host searches {len(mine)}/{len(files)} files"
-            )
-            return mine
-        return files
-
     def load_library(self) -> SpecLibFlat:
         """Build or load the spectral library.
 
@@ -216,6 +196,7 @@ class SearchStep:
                 25,
                 f"distributed: this host searches {len(my_files)}/{len(all_files)} files",
             )
+        fail_fast_error: BaseException | None = None
         for raw_path in my_files:
             raw_name = Path(raw_path).stem
             run_folder = quant_dir / raw_name
@@ -231,12 +212,20 @@ class SearchStep:
                 self.errors.append((raw_name, e.error_code))
                 logger.error(f"{raw_name}: {e.error_code}: {e}")
                 if self.config["general"]["fail_fast"]:
-                    raise
+                    fail_fast_error = e
             except Exception as e:
                 self.errors.append((raw_name, str(e)))
                 logger.error(f"{raw_name} failed: {e}\n{traceback.format_exc()}")
                 if self.config["general"]["fail_fast"]:
-                    raise
+                    fail_fast_error = e
+            if fail_fast_error is not None:
+                # in a multi-host job this host must still participate in
+                # the barriers below or every peer hangs there; the error
+                # re-raises after the collective bookkeeping completes
+                logger.error("fail_fast: skipping remaining raw files")
+                break
+        if fail_fast_error is not None and not is_distributed:
+            raise fail_fast_error
 
         # cross-run aggregation covers EVERY run (all hosts' quant
         # folders on the shared filesystem), and exactly one host builds
@@ -251,10 +240,24 @@ class SearchStep:
             multihost_utils.sync_global_devices("alphadia_tpu_quant_done")
             if jax.process_index() != 0:
                 logger.log(25, "distributed: aggregation runs on process 0")
+                # wait for the builder so every host leaves run() with the
+                # step artifacts (stat.tsv, MBR/transfer libraries) on
+                # disk — multistep plans read them right after
+                multihost_utils.sync_global_devices("alphadia_tpu_output_done")
+                if fail_fast_error is not None:
+                    raise fail_fast_error
                 return
 
-        output = SearchPlanOutput(self.config, self.output_folder)
-        output.build(folder_list, self.spectral_library)
+        try:
+            output = SearchPlanOutput(self.config, self.output_folder)
+            output.build(folder_list, self.spectral_library)
+        finally:
+            if is_distributed:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("alphadia_tpu_output_done")
+        if fail_fast_error is not None:
+            raise fail_fast_error
 
     # ------------------------------------------------------------------
     def _process_raw_file(self, raw_path: str, raw_name: str, quant_dir: Path) -> None:

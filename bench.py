@@ -194,7 +194,8 @@ def _wait_for_backend(attempts: int = 5, delay_s: float = 120.0) -> None:
             f"# backend unavailable (attempt {i + 1}/{attempts}); retrying",
             file=sys.stderr,
         )
-        time.sleep(delay_s)
+        if i < attempts - 1:  # no pointless sleep on the terminal path
+            time.sleep(delay_s)
 
 
 def main() -> None:

@@ -134,8 +134,9 @@ def test_two_process_full_search_aggregates_on_process_zero(tmp_path):
     assert by_pid[0]["process_count"] == 2
     # both per-run quant artifacts exist (one written by each host)
     assert by_pid[0]["runs_with_psm"] == ["run_0", "run_1"]
-    # non-zero processes return before the aggregation step
-    assert not by_pid[1]["built_at_return"]
+    # every host leaves run() AFTER the single aggregation completed
+    # (multistep plans read the step artifacts right after returning)
+    assert by_pid[1]["built_at_return"]
     # the aggregated table (built once, by process 0) covers BOTH runs
     psm = pd.read_parquet(tmp_path / "out" / "precursors.parquet")
     assert psm["raw.name"].nunique() == 2

@@ -56,7 +56,7 @@ def test_suppress_close_peaks():
     peak_idx = jnp.array([[10, 12, 30, 31]])
     peak_score = jnp.array([[5.0, 4.0, 3.0, 2.0]])
     valid = jnp.ones((1, 4), dtype=bool)
-    keep = np.asarray(suppress_close_peaks(peak_idx, peak_score, valid, 3))
+    keep = np.asarray(suppress_close_peaks(peak_idx, valid, 3))
     assert keep.tolist() == [[True, False, True, False]]
 
 

@@ -75,7 +75,7 @@ def test_suppress_close_peaks_2d_requires_both_dims():
     score = jnp.asarray([[9.0, 8.0, 7.0]], jnp.float32)
     valid = jnp.asarray([[True, True, True]])
     keep = np.asarray(
-        suppress_close_peaks_2d(scan, cyc, score, valid, 3, 3)
+        suppress_close_peaks_2d(scan, cyc, valid, 3, 3)
     )[0]
     # peak 1: same cycles but 15 scan bins away -> kept
     # peak 2: within 3 cycles AND 1 scan bin of peak 0 -> suppressed

@@ -42,6 +42,17 @@ def multiplex_candidates(
         logger.warning("multiplexing: no confident reference-channel PSMs")
         return pd.DataFrame()
 
+    # best candidate per elution group donates the coordinates
+    # (reference multiplex_candidates sorts by (proba, precursor_idx)
+    # ascending and takes the first; fall back to score descending when
+    # no classifier probability is present)
+    if "proba" in ref.columns:
+        sort_cols = ["proba"] + (
+            ["precursor_idx"] if "precursor_idx" in ref.columns else []
+        )
+        ref = ref.sort_values(sort_cols, ascending=True)
+    else:
+        ref = ref.sort_values("score", ascending=False)
     coords = ref[
         [
             "elution_group_idx",

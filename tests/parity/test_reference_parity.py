@@ -617,6 +617,89 @@ def test_classifier_quality_matches_reference_torch():
 
 
 # ----------------------------------------------------------------------
+# multiplex candidate expansion  (reference search/scoring/utils.py)
+# ----------------------------------------------------------------------
+def test_multiplex_candidates_match_reference():
+    """Same (precursor, channel) expansion with the best-per-elution-group
+    coordinates."""
+    ref_utils = ref_module(
+        "alphadia.search.scoring.utils", file="alphadia/search/scoring/utils.py"
+    )
+    from alphadia_tpu.workflow.peptidecentric.multiplexing_handler import (
+        multiplex_candidates,
+    )
+
+    rng = np.random.default_rng(19)
+    channels = [0, 4, 8, 12]
+    # library: 6 elution groups x 4 channels
+    rows = []
+    pid = 0
+    for eg in range(6):
+        for ch in channels:
+            rows.append(
+                {
+                    "precursor_idx": np.uint32(pid),
+                    "elution_group_idx": np.uint32(eg),
+                    "channel": np.uint32(ch),
+                    "decoy": np.uint8(0),
+                    "charge": np.uint8(2),
+                    "flat_frag_start_idx": np.uint32(0),
+                    "flat_frag_stop_idx": np.uint32(3),
+                    "rt_library": np.float32(100 + eg),
+                    "mobility_library": np.float32(0.0),
+                    "mz_library": np.float32(500 + eg),
+                    "proteins": "P1",
+                    "genes": "G1",
+                }
+            )
+            pid += 1
+    lib = pd.DataFrame(rows)
+    # reference validation (pandas<3 era) chokes on pandas 3 StringDtype
+    for c in ("proteins", "genes"):
+        lib[c] = lib[c].astype(object)
+
+    # confident reference-channel PSMs: two candidates for eg 0 (ranks with
+    # different proba — the better one must donate coordinates), one each
+    # for egs 1 and 2
+    cand_rows = []
+    for eg, rank, proba, fc in [(0, 0, 0.30, 50), (0, 1, 0.05, 60), (1, 0, 0.10, 70), (2, 0, 0.20, 80)]:
+        cand_rows.append(
+            {
+                "precursor_idx": np.int64(eg * 4),  # channel-0 sibling
+                "elution_group_idx": np.uint32(eg),
+                "channel": np.uint32(0),
+                "rank": np.uint8(rank),
+                "score": np.float32(10 - 10 * proba),
+                "proba": np.float32(proba),
+                "scan_start": np.int64(0),
+                "scan_center": np.int64(0),
+                "scan_stop": np.int64(1),
+                "frame_start": np.int64(fc - 5),
+                "frame_center": np.int64(fc),
+                "frame_stop": np.int64(fc + 5),
+            }
+        )
+    cand = pd.DataFrame(cand_rows).sample(frac=1.0, random_state=rng.integers(99))
+
+    ref_out = ref_utils.multiplex_candidates(
+        cand.copy(), lib.copy(), channels=channels
+    )
+    our_out = multiplex_candidates(cand.copy(), lib.copy(), reference_channel=0)
+
+    ref_set = set(zip(ref_out["precursor_idx"], ref_out["channel"]))
+    our_set = set(
+        zip(our_out["precursor_idx"].astype(int), our_out["channel"].astype(int))
+    )
+    assert our_set == ref_set
+    # best-per-elution-group coordinates (eg 0 must use frame_center 60,
+    # the proba-0.05 candidate)
+    ref_eg0 = ref_out[ref_out["elution_group_idx"] == 0]
+    our_eg0 = our_out[our_out["elution_group_idx"] == 0]
+    assert set(ref_eg0["frame_center"]) == {60}
+    assert set(our_eg0["frame_center"]) == {60}
+
+
+# ----------------------------------------------------------------------
 # candidate hash  (reference alphadia/fragcomp/utils.py)
 # ----------------------------------------------------------------------
 def test_candidate_hash_matches_reference():

@@ -617,6 +617,133 @@ def test_classifier_quality_matches_reference_torch():
 
 
 # ----------------------------------------------------------------------
+# precursor scoring features  (reference features/precursor_features.py)
+# ----------------------------------------------------------------------
+def _golden_module():
+    import importlib.util
+
+    path = Path(__file__).parents[1] / "unit" / "test_scoring_golden.py"
+    spec = importlib.util.spec_from_file_location("_golden", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_precursor_features_match_reference_function():
+    """Run the reference's precursor_features() on dense arrays built from
+    the golden fixture's hand-placed numbers and diff our kernel's feature
+    row against it — the MS1 intensity sums, weighted mass errors, isotope
+    intensity correlation, and observation count must agree.
+
+    Known deviation (documented in docs/parity.md): the reference's
+    weighted_center_mean centers at constants derived from array SHAPE
+    (n_scans/n_observations), our kernel centers at the candidate apex —
+    the height-derived features (11-14, 16) are compared against the
+    reference FORMULA evaluated at our center instead.
+    """
+    g = _golden_module()
+    ref_pf = ref_module(
+        "alphadia.search.scoring.features.precursor_features",
+        file="alphadia/search/scoring/features/precursor_features.py",
+    )
+
+    # --- our kernel's feature row on the golden run --------------------
+    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
+
+    dia = DiaData.from_spectra(g._build_spectra())
+    prec = pd.DataFrame(
+        {
+            "precursor_idx": [7],
+            "charge": [g.CHARGE],
+            "mz_library": [g.MONO_MZ],
+            "rt_library": [8.0],
+            "flat_frag_start_idx": [0],
+            "flat_frag_stop_idx": [len(g.FRAGS)],
+            "i_0": [g.ISO_LIB[0]],
+            "i_1": [g.ISO_LIB[1]],
+            "i_2": [g.ISO_LIB[2]],
+        }
+    )
+    frag = pd.DataFrame(
+        {
+            "mz_library": [f[0] for f in g.FRAGS],
+            "intensity": [f[1] for f in g.FRAGS],
+            "type": [f[2] for f in g.FRAGS],
+            "position": [f[3] for f in g.FRAGS],
+            "number": [1, 2, 3, 4],
+            "charge": [1, 1, 1, 1],
+            "loss_type": [0, 0, 0, 0],
+            "cardinality": [1, 1, 1, 1],
+        }
+    )
+    cand = pd.DataFrame(
+        {
+            "precursor_idx": [7],
+            "rank": [0],
+            "score": [1.0],
+            "frame_center": [g.FRAME_CENTER],
+            "frame_start": [g.FRAME_START],
+            "frame_stop": [g.FRAME_STOP],
+        }
+    )
+    cfg = ScoringConfig(
+        top_k_fragments=4, top_k_isotopes=3, quant_window=3,
+        quant_all=True, collect_fragments=True,
+    )
+    psm, _ = CandidateScoring(dia, prec, frag, cfg)(cand)
+    ours = psm.iloc[0]
+
+    # --- the reference function on equivalent dense arrays -------------
+    W = g.W
+    wmask = np.zeros(W, bool)
+    wmask[g.FRAME_START : g.FRAME_STOP] = True
+    ms1 = g.MS1_PROF.astype(np.float64) * wmask
+    KI = 3
+    dense = np.zeros((2, KI, 1, 1, W))
+    for k in range(KI):
+        profile = ms1 * float(g.ISO_OBS[k])
+        dense[0, k, 0, 0] = profile
+        dense[1, k, 0, 0] = np.where(
+            profile > 0, g.ISO_MZ[k] * (1 + g.MS1_PPM * 1e-6), 0.0
+        )
+    feature_array = np.zeros(64)
+    ref_pf.precursor_features(
+        g.ISO_MZ.astype(np.float64),
+        g.ISO_LIB.astype(np.float64),
+        dense,
+        np.array([1.0]),
+        np.zeros((1, 1, W)),
+        feature_array,
+    )
+
+    # raw MS1 intensity sums travel bf16 on the wire (1/256 mantissa)
+    for idx, name, rel in [
+        (4, "mono_ms1_intensity", 1 / 100),
+        (5, "top_ms1_intensity", 1 / 100),
+        (6, "sum_ms1_intensity", 1 / 100),
+        (7, "weighted_ms1_intensity", 1 / 100),
+        # ppm math runs f32 in-kernel (reference is f64): ~0.3 ppm of
+        # precision at m/z 450 -> compare at 2% of the 3 ppm truth
+        (8, "weighted_mass_deviation", 2e-2),
+        (9, "weighted_mass_error", 2e-2),
+        (10, "mz_observed", 1e-5),
+        (15, "isotope_intensity_correlation", 2e-3),
+    ]:
+        assert ours[name] == pytest.approx(feature_array[idx], rel=rel), name
+
+    # height features: reference formula (exp(-0.1 d) weighted mean of
+    # nonzero values) evaluated at OUR center convention
+    frames = np.arange(W, dtype=np.float64)
+    C = g.C
+    wts = np.exp(-0.1 * np.abs(frames - C)) * (ms1 > 0)
+    ms1_h = (ms1 * wts).sum() / wts.sum()
+    iso_h = np.array([ms1_h * a for a in g.ISO_OBS], np.float64)
+    assert ours["mono_ms1_height"] == pytest.approx(iso_h[0], rel=2e-3)
+    assert ours["sum_ms1_height"] == pytest.approx(iso_h.sum(), rel=2e-3)
+
+
+# ----------------------------------------------------------------------
 # multiplex candidate expansion  (reference search/scoring/utils.py)
 # ----------------------------------------------------------------------
 def test_multiplex_candidates_match_reference():

@@ -744,6 +744,114 @@ def test_precursor_features_match_reference_function():
 
 
 # ----------------------------------------------------------------------
+# fragment scoring features  (reference features/fragment_features.py)
+# ----------------------------------------------------------------------
+def test_fragment_features_match_reference_function():
+    """Run the reference's fragment_features() on dense arrays built from
+    the golden fixture and diff our kernel's feature row.
+
+    Ours equals the reference evaluated on the KERNEL-VALID fragment
+    subset: the reference includes never-observed fragments in fraction
+    denominators and mass-error means (an unobserved fragment contributes
+    -1e6 ppm to mean_ms2_mass_error), where our kernel masks them out —
+    deviation documented in docs/parity.md.
+    """
+    import types
+
+    g = _golden_module()
+    ref_ff = ref_module(
+        "alphadia.search.scoring.features.fragment_features",
+        file="alphadia/search/scoring/features/fragment_features.py",
+    )
+
+    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
+
+    dia = DiaData.from_spectra(g._build_spectra())
+    prec = pd.DataFrame(
+        {
+            "precursor_idx": [7], "charge": [g.CHARGE],
+            "mz_library": [g.MONO_MZ], "rt_library": [8.0],
+            "flat_frag_start_idx": [0], "flat_frag_stop_idx": [4],
+            "i_0": [g.ISO_LIB[0]], "i_1": [g.ISO_LIB[1]], "i_2": [g.ISO_LIB[2]],
+        }
+    )
+    frag = pd.DataFrame(
+        {
+            "mz_library": [f[0] for f in g.FRAGS],
+            "intensity": [f[1] for f in g.FRAGS],
+            "type": [f[2] for f in g.FRAGS],
+            "position": [f[3] for f in g.FRAGS],
+            "number": [1, 2, 3, 4], "charge": [1] * 4,
+            "loss_type": [0] * 4, "cardinality": [1] * 4,
+        }
+    )
+    cand = pd.DataFrame(
+        {
+            "precursor_idx": [7], "rank": [0], "score": [1.0],
+            "frame_center": [g.FRAME_CENTER],
+            "frame_start": [g.FRAME_START], "frame_stop": [g.FRAME_STOP],
+        }
+    )
+    psm, _ = CandidateScoring(
+        dia, prec, frag,
+        ScoringConfig(top_k_fragments=4, top_k_isotopes=3, quant_window=3,
+                      quant_all=True, collect_fragments=True),
+    )(cand)
+    ours = psm.iloc[0]
+
+    # reference inputs over the kernel-valid fragments (f3 never observed)
+    valid = [0, 1, 2]
+    W = g.W
+    wmask = np.zeros(W, bool)
+    wmask[g.FRAME_START : g.FRAME_STOP] = True
+    prof = g.PROF.astype(np.float64) * wmask
+    nF = len(valid)
+    dense = np.zeros((2, nF, 1, 1, W))
+    for j, f in enumerate(valid):
+        dense[0, j, 0, 0] = prof[f]
+        dense[1, j, 0, 0] = np.where(
+            prof[f] > 0, g.FRAGS[f][0] * (1 + g.MS2_PPM * 1e-6), 0.0
+        )
+    frame_profile = dense[0].sum(axis=2)
+    frame_rt = np.arange(W, dtype=np.float64)
+    ms1 = g.MS1_PROF.astype(np.float64) * wmask
+    frags = types.SimpleNamespace(
+        intensity=np.array([g.FRAGS[f][1] for f in valid], np.float32),
+        mz=np.array([g.FRAGS[f][0] for f in valid], np.float64),
+        type=np.array([g.FRAGS[f][2] for f in valid], np.uint8),
+        position=np.array([g.FRAGS[f][3] for f in valid], np.uint8),
+    )
+    fa = np.zeros(64)
+    ref_ff.fragment_features(
+        dense, frame_profile, frame_rt, np.array([1.0]),
+        ms1.reshape(1, 1, W).copy(), frags, fa,
+        quant_window=3, quant_all=True,
+    )
+
+    for idx, name, tol in [
+        (18, "intensity_correlation", 5e-3),
+        (19, "height_correlation", 5e-3),
+        (20, "intensity_fraction", 1e-3),
+        (21, "height_fraction", 1e-3),
+        (22, "intensity_fraction_weighted", 1e-3),
+        (23, "height_fraction_weighted", 1e-3),
+        (24, "mean_observation_score", 1e-3),
+        (25, "sum_b_ion_intensity", 2e-3),
+        (26, "sum_y_ion_intensity", 2e-3),
+        (27, "diff_b_y_ion_intensity", 2e-2),
+        (41, "top_3_ms2_mass_error", 2e-2),
+        (42, "mean_ms2_mass_error", 2e-2),
+        (43, "n_overlapping", 1e-6),
+        (44, "mean_overlapping_intensity", 1e-2),
+        (45, "mean_overlapping_mass_error", 2e-2),
+    ]:
+        assert float(ours[name]) == pytest.approx(fa[idx], rel=tol, abs=1e-6), (
+            f"{name}: ours {float(ours[name])} vs reference {fa[idx]}"
+        )
+
+
+# ----------------------------------------------------------------------
 # multiplex candidate expansion  (reference search/scoring/utils.py)
 # ----------------------------------------------------------------------
 def test_multiplex_candidates_match_reference():

@@ -407,9 +407,10 @@ def score_candidates_batch(
         frame_profile, jnp.broadcast_to(template[:, None, :, :], frame_profile.shape)
     )  # [B, KF, O2]
     tf_red = (tf_corr * obs_imp[:, None, :]).sum(axis=-1)  # [B, KF]
-    features = features.at[:, 33].set(
-        (tf_red * jnp.where(fmask, frag_intensity, 0.0)).sum(axis=1)
-    )
+    # weights are the NORMALIZED library intensities (reference
+    # profile_features.py:84 dots with fragment_intensity_norm) — raw
+    # intensities would scale the feature with the library's intensity sum
+    features = features.at[:, 33].set((tf_red * intensity_norm).sum(axis=1))
 
     features = features.at[:, 34].set(
         topk_mean_by(frame_corr, frag_intensity, fmask & is_b, 3)
@@ -486,9 +487,8 @@ def score_candidates_batch(
             / cnt[:, None, None]
         )
         mf_red = (frac_s * mobility_width[:, None, None] * obs_imp[:, None, :]).sum(-1)
-        features = features.at[:, 39].set(
-            (mf_red * jnp.where(fmask, frag_intensity, 0.0)).sum(-1)
-        )
+        # normalized-intensity weighting (reference profile_features.py:186)
+        features = features.at[:, 39].set((mf_red * intensity_norm).sum(-1))
 
         # observed mobility: scan center of mass of the summed fragment
         # profile (bin units; the driver maps bins -> mobility values)
@@ -505,9 +505,8 @@ def score_candidates_batch(
     rt_width = (rt_stop - rt_start)[:, None, None]
     cycle_fwhm = frac_above * rt_width  # [B, KF, O2]
     fwhm_red = (cycle_fwhm * obs_imp[:, None, :]).sum(axis=-1)
-    features = features.at[:, 38].set(
-        (fwhm_red * jnp.where(fmask, frag_intensity, 0.0)).sum(axis=1)
-    )
+    # normalized-intensity weighting (reference profile_features.py:144)
+    features = features.at[:, 38].set((fwhm_red * intensity_norm).sum(axis=1))
 
     # ---- delta frame peak --------------------------------------------
     peak_pos = jnp.argmax(frame_profile, axis=-1).astype(f32)  # [B, KF, O2]

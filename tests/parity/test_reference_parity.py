@@ -852,6 +852,101 @@ def test_fragment_features_match_reference_function():
 
 
 # ----------------------------------------------------------------------
+# profile scoring features  (reference features/profile_features.py)
+# ----------------------------------------------------------------------
+def test_profile_features_match_reference_function():
+    """Frame correlations, b/y correlation splits, cycle FWHM, and the
+    frame-peak displacement vs the reference's profile_features() on the
+    golden fixture (valid-fragment subset; experimental_xic path).
+
+    This oracle caught a real bug: features 33/38/39 were weighted by RAW
+    library intensities instead of normalized ones, scaling them with the
+    library's intensity sum.
+    """
+    import types
+
+    g = _golden_module()
+    ref_pfl = ref_module(
+        "alphadia.search.scoring.features.profile_features",
+        file="alphadia/search/scoring/features/profile_features.py",
+    )
+
+    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.search.scoring import CandidateScoring, ScoringConfig
+
+    dia = DiaData.from_spectra(g._build_spectra())
+    prec = pd.DataFrame(
+        {
+            "precursor_idx": [7], "charge": [g.CHARGE],
+            "mz_library": [g.MONO_MZ], "rt_library": [8.0],
+            "flat_frag_start_idx": [0], "flat_frag_stop_idx": [4],
+            "i_0": [g.ISO_LIB[0]], "i_1": [g.ISO_LIB[1]], "i_2": [g.ISO_LIB[2]],
+        }
+    )
+    frag = pd.DataFrame(
+        {
+            "mz_library": [f[0] for f in g.FRAGS],
+            "intensity": [f[1] for f in g.FRAGS],
+            "type": [f[2] for f in g.FRAGS],
+            "position": [f[3] for f in g.FRAGS],
+            "number": [1, 2, 3, 4], "charge": [1] * 4,
+            "loss_type": [0] * 4, "cardinality": [1] * 4,
+        }
+    )
+    cand = pd.DataFrame(
+        {
+            "precursor_idx": [7], "rank": [0], "score": [1.0],
+            "frame_center": [g.FRAME_CENTER],
+            "frame_start": [g.FRAME_START], "frame_stop": [g.FRAME_STOP],
+        }
+    )
+    psm, _ = CandidateScoring(
+        dia, prec, frag,
+        ScoringConfig(top_k_fragments=4, top_k_isotopes=3, quant_window=3,
+                      quant_all=True, collect_fragments=True),
+    )(cand)
+    ours = psm.iloc[0]
+
+    valid = [0, 1, 2]
+    W = g.W
+    wmask = np.zeros(W, bool)
+    wmask[g.FRAME_START : g.FRAME_STOP] = True
+    prof = g.PROF.astype(np.float64) * wmask
+    frame_profile = prof[valid].reshape(len(valid), 1, W)
+    scan_profile = prof[valid].sum(axis=1).reshape(len(valid), 1, 1)
+    ms1 = g.MS1_PROF.astype(np.float64) * wmask
+    dia_stub = types.SimpleNamespace(
+        rt_values=np.arange(g.N_CYCLES, dtype=np.float64),
+        has_mobility=False,
+        mobility_values=np.zeros(1),
+    )
+    fint = np.array([g.FRAGS[f][1] for f in valid], np.float32)
+    fa = np.zeros(64)
+    ref_pfl.profile_features(
+        dia_stub, fint / fint.sum(),
+        np.array([g.FRAGS[f][2] for f in valid], np.uint8),
+        np.array([1.0]), scan_profile, frame_profile,
+        np.array([[ms1.sum()]]), ms1.reshape(1, W),
+        0, 1, g.FRAME_START, g.FRAME_STOP, fa, True,
+    )
+
+    for idx, name, tol in [
+        (31, "fragment_frame_correlation", 5e-3),
+        (32, "top3_frame_correlation", 5e-3),
+        (33, "template_frame_correlation", 5e-3),
+        (34, "top3_b_ion_correlation", 5e-3),
+        (35, "n_b_ions", 1e-6),
+        (36, "top3_y_ion_correlation", 5e-3),
+        (37, "n_y_ions", 1e-6),
+        (38, "cycle_fwhm", 5e-3),
+        (40, "delta_frame_peak", 1e-6),
+    ]:
+        assert float(ours[name]) == pytest.approx(fa[idx], rel=tol, abs=1e-5), (
+            f"{name}: ours {float(ours[name])} vs reference {fa[idx]}"
+        )
+
+
+# ----------------------------------------------------------------------
 # multiplex candidate expansion  (reference search/scoring/utils.py)
 # ----------------------------------------------------------------------
 def test_multiplex_candidates_match_reference():

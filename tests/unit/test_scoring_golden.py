@@ -286,7 +286,11 @@ def _expected():
     # template profile = ms1 * sum(iso_lib * iso_obs); correlated per fragment
     template = ms1 * (ISO_LIB.astype(np.float64) * ISO_OBS).sum()
     tf_corr = np.array([_pearson(prof[f], template) for f in range(4)])
-    e["template_frame_correlation"] = (tf_corr * lib_int * fmask).sum()
+    # weighted by NORMALIZED library intensity (reference
+    # profile_features.py:84; verified against the reference function in
+    # tests/parity)
+    int_norm_all = np.where(fmask, lib_int, 0.0) / lib_int[fmask].sum()
+    e["template_frame_correlation"] = (tf_corr * int_norm_all).sum()
 
     e["top3_b_ion_correlation"] = frame_corr[0]  # only f0 is a valid b ion
     e["n_b_ions"] = 1.0
@@ -301,7 +305,7 @@ def _expected():
     # --- FWHM / peak-position features ---
     rt_width = e["base_width_rt"]
     frac = (prof > 0.5 * prof.max(axis=1, keepdims=True)).sum(axis=1) / W
-    e["cycle_fwhm"] = (frac * rt_width * lib_int * fmask).sum()
+    e["cycle_fwhm"] = (frac * rt_width * int_norm_all).sum()
     # all observed apexes sit at cycle 8 == C -> median displacement 0
     e["delta_frame_peak"] = 0.0
 

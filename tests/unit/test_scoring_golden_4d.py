@@ -149,7 +149,8 @@ def test_scan_correlations_golden(scored_4d):
 def test_mobility_fwhm_golden(scored_4d):
     # per-fragment scan profile [0, .6G, .4G, 0]: 2 of 4 bins above half max
     frac = 2 / S
-    want = frac * WIDTH * (1.0 + 0.8)
+    # normalized-intensity weights (1.0 + 0.8 over their sum)
+    want = frac * WIDTH * 1.0
     assert scored_4d["mobility_fwhm"] == pytest.approx(want, rel=2e-3)
 
 

@@ -185,6 +185,44 @@ def unpack_sel_u16(packed: np.ndarray, spec: dict[str, tuple]) -> dict:
     return out
 
 
+# ---- byte-plane wire transform (download-side) -------------------------
+# The remote-TPU tunnel compresses transfers in flight (measured: constant
+# payloads move ~3x faster than random ones at the same byte count). A
+# packed [B, C] buffer interleaves high/low bytes of f16/bf16/i16 columns,
+# which defeats the compressor. Splitting into byte planes laid out
+# column-major — plane p, column c contiguous over candidates — groups the
+# highly correlated exponent/sign bytes of each column into long runs:
+# measured 5x effective download bandwidth (5 -> 27 MB/s) on realistic
+# feature payloads, with no loss (pure bit rearrangement). On directly
+# attached TPUs the transform is a cheap on-device shift+transpose.
+
+
+def wire_encode_jnp(x):
+    """uintN [B, C] -> uint8 [N_bytes, C, B] byte planes (device, in jit).
+
+    Plane i holds byte i (little-endian) of every element, transposed so a
+    column's bytes are contiguous over the batch dimension.
+    """
+    nbytes = x.dtype.itemsize
+    planes = [(x >> jnp.asarray(8 * i, x.dtype)).astype(jnp.uint8).T for i in range(nbytes)]
+    return jnp.stack(planes, axis=0)
+
+
+def wire_decode_np(planes: np.ndarray, dtype=np.uint16) -> np.ndarray:
+    """Host-side inverse of :func:`wire_encode_jnp`: uint8 [N, C, B] ->
+    uintN [B, C]."""
+    p = np.asarray(planes)
+    dtype = np.dtype(dtype)
+    if p.shape[0] != dtype.itemsize:
+        raise ValueError(
+            f"wire_decode_np: {p.shape[0]} planes for {dtype.itemsize}-byte dtype"
+        )
+    acc = p[0].astype(dtype.type)
+    for i in range(1, p.shape[0]):
+        acc = acc | (p[i].astype(dtype.type) << np.asarray(8 * i, dtype.type))
+    return np.ascontiguousarray(acc.T)
+
+
 def pack_u32(result: dict):
     """Pack a dict of [B, ...] 32-bit (or bool) arrays into uint32 [B, C]."""
     B = next(iter(result.values())).shape[0]

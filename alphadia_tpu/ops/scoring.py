@@ -728,10 +728,13 @@ def unpack_scoring_output(
 )
 def score_candidates_batch_packed(*args, transport_quant: bool = True, **static_kw):
     """Mesh-path variant: run the scoring kernel and return the single
-    packed uint16 buffer (one device->host download per batch)."""
+    packed buffer as byte planes (one compressible device->host download
+    per batch; see :func:`alphadia_tpu.ops.packing.wire_encode_jnp`)."""
+    from alphadia_tpu.ops.packing import wire_encode_jnp
+
     features, valid, frag_out = score_candidates_batch(*args, **static_kw)
-    return pack_scoring_output(
-        features, valid, frag_out, with_quant=transport_quant
+    return wire_encode_jnp(
+        pack_scoring_output(features, valid, frag_out, with_quant=transport_quant)
     )
 
 
@@ -787,5 +790,9 @@ def score_candidates_batch_sliced(
         **static_kw,
     )
     if pack_output:
-        return pack_scoring_output(*out, with_quant=transport_quant)
+        from alphadia_tpu.ops.packing import wire_encode_jnp
+
+        return wire_encode_jnp(
+            pack_scoring_output(*out, with_quant=transport_quant)
+        )
     return out

@@ -235,9 +235,11 @@ def select_candidates_batch_sliced(
         **static_kw,
     )
     if pack_output:
-        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32
+        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32, wire_encode_jnp
 
-        return pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
+        return wire_encode_jnp(
+            pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
+        )
     return result
 
 
@@ -456,7 +458,9 @@ def select_candidates_batch_4d_sliced(
         **static_kw,
     )
     if pack_output:
-        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32
+        from alphadia_tpu.ops.packing import pack_sel_u16, pack_u32, wire_encode_jnp
 
-        return pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
+        return wire_encode_jnp(
+            pack_sel_u16(result) if pack_mode == "u16" else pack_u32(result)
+        )
     return result

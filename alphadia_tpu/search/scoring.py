@@ -448,10 +448,16 @@ class CandidateScoring:
             )
             pending.append((bsz - pad, b0, packed))
 
+        from alphadia_tpu.ops.packing import wire_decode_np
+
         KF = cfg.top_k_fragments
         for take, b0, packed in pending:
+            buf = np.asarray(packed)
+            # non-mesh path ships byte planes (compressible wire format)
+            if buf.dtype == np.uint8:
+                buf = wire_decode_np(buf, np.uint16)
             features, valid, frag_out = unpack_scoring_output(
-                np.asarray(packed)[:take],
+                buf[:take],
                 KF,
                 arrays["ms2_slot"].shape[1],
                 with_quant=cfg.transport_quant,

@@ -451,13 +451,21 @@ class CandidateSelection:
         for b0, bsz, pad, result in pending:
             if isinstance(result, dict):  # mesh path (unpacked)
                 result = {k: np.asarray(v) for k, v in result.items()}
-            else:  # packed single-download buffer
-                from alphadia_tpu.ops.packing import unpack_sel_u16, unpack_u32
+            else:  # packed single-download buffer (byte-plane wire format)
+                from alphadia_tpu.ops.packing import (
+                    unpack_sel_u16,
+                    unpack_u32,
+                    wire_decode_np,
+                )
 
+                buf = wire_decode_np(
+                    np.asarray(result),
+                    np.uint16 if pack_mode == "u16" else np.uint32,
+                )
                 result = (
-                    unpack_sel_u16(np.asarray(result), unpack_spec)
+                    unpack_sel_u16(buf, unpack_spec)
                     if pack_mode == "u16"
-                    else unpack_u32(np.asarray(result), unpack_spec)
+                    else unpack_u32(buf, unpack_spec)
                 )
             valid = result["valid"].copy()
             if pad:

@@ -197,3 +197,21 @@ def test_pack_unpack_light_transport():
         fo2["obs_intensity"], frag_out["obs_intensity"], rtol=1 / 128
     )
     np.testing.assert_array_equal(fo2["scan_com"], frag_out["scan_com"])
+
+
+def test_wire_byte_planes_roundtrip():
+    """wire_encode_jnp <-> wire_decode_np is lossless for u16 and u32."""
+    import numpy as np
+
+    from alphadia_tpu.ops.packing import wire_decode_np, wire_encode_jnp
+
+    rng = np.random.default_rng(3)
+    for dtype in (np.uint16, np.uint32):
+        buf = rng.integers(
+            0, np.iinfo(dtype).max, size=(37, 23), dtype=dtype
+        )
+        planes = np.asarray(wire_encode_jnp(buf))
+        assert planes.dtype == np.uint8
+        assert planes.shape == (np.dtype(dtype).itemsize, 23, 37)
+        out = wire_decode_np(planes, dtype)
+        np.testing.assert_array_equal(out, buf)

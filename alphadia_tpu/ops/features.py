@@ -59,6 +59,24 @@ def pearson_rows(x, y, eps=1e-12):
     return num / (den + eps)
 
 
+def pearson_rows_masked(x, y, mask, eps=1e-12):
+    """Row-wise Pearson over the `mask`-selected positions of matching
+    [..., W] profiles. Entries outside the mask must already be zero —
+    moments are computed over the masked count, matching the reference's
+    correlations over candidate-length dense profiles (reference:
+    profile_features.py operates on profiles spanning exactly
+    frame_start..frame_stop, not a padded window)."""
+    m = mask.astype(x.dtype)
+    cnt = jnp.maximum(m.sum(axis=-1, keepdims=True), 1.0)
+    xm = x.sum(axis=-1, keepdims=True) / cnt
+    ym = y.sum(axis=-1, keepdims=True) / cnt
+    xc = (x - xm) * m
+    yc = (y - ym) * m
+    num = (xc * yc).sum(axis=-1)
+    den = jnp.sqrt((xc**2).sum(axis=-1) * (yc**2).sum(axis=-1))
+    return num / (den + eps)
+
+
 def or_envelope(x):
     """Replace local dips with the mean of their neighbours ([..., W])."""
     left = x[..., :-2]

@@ -57,6 +57,7 @@ from alphadia_tpu.ops.features import (
     masked_mean,
     masked_median,
     pearson_rows,
+    pearson_rows_masked,
     topk_mean_by,
     weighted_center_mean,
     weighted_center_of_mass,
@@ -259,8 +260,13 @@ def score_candidates_batch(
     features = features.at[:, 28].set(n_valid / n_input)  # f_masked
 
     # ---- location features -------------------------------------------
+    # rt extent spans the full candidate window [frame_start, frame_stop);
+    # the reference measures rt_values[frame_stop-1] - rt_values[frame_start]
+    # at SPECTRUM granularity (location_features.py:26), which is the full
+    # cycle span minus 1/n_slots of a cycle — using the exclusive stop at
+    # cycle granularity is the closest match (residual: cycle_time/n_slots)
     rt_start = cycle_rt[jnp.clip(frame_start, 0, n_cycles - 1)]
-    rt_stop = cycle_rt[jnp.clip(frame_stop - 1, 0, n_cycles - 1)]
+    rt_stop = cycle_rt[jnp.clip(frame_stop, 0, n_cycles - 1)]
     rt_obs = cycle_rt[jnp.clip(frame_center, 0, n_cycles - 1)]
     features = features.at[:, 1].set(rt_stop - rt_start)
     features = features.at[:, 2].set(rt_obs)
@@ -379,20 +385,35 @@ def score_candidates_batch(
     # ---- frame correlation features ----------------------------------
     profile_all = frame_profile.sum(axis=2)  # [B, KF, W]
     if experimental_xic:
-        norm_prof = profile_all / jnp.maximum(
-            profile_all.sum(axis=-1, keepdims=True), 1e-12
+        # reference normalize_profiles (scoring_utils.py:79-118): each
+        # fragment profile is scaled by the MEAN over center±1 — profiles
+        # with zero center intensity are zeroed, so noise-only fragments
+        # don't distort the median reference profile
+        center_int = profile_all[:, :, C - 1 : C + 2].mean(
+            axis=-1, keepdims=True
+        )
+        norm_prof = jnp.where(
+            center_int > 0, profile_all / jnp.maximum(center_int, 1e-12), 0.0
         )
         med_prof = masked_median(
             norm_prof, fmask[:, :, None] & wmask[:, None, :], axis=1
         )  # [B, W]
-        frame_corr = pearson_rows(
-            jnp.broadcast_to(med_prof[:, None, :], profile_all.shape), profile_all
+        frame_corr = pearson_rows_masked(
+            jnp.broadcast_to(
+                med_prof[:, None, :] * wmask[:, None, :], profile_all.shape
+            ),
+            profile_all,
+            wmask[:, None, :],
         )  # [B, KF]
         top3_corr = topk_mean_by(frame_corr, frag_intensity, fmask, 3)
     else:
-        pm = profile_all - profile_all.mean(axis=-1, keepdims=True)
-        cov = jnp.einsum("bfw,bgw->bfg", pm, pm) / W
-        sd = jnp.sqrt(jnp.maximum(jnp.einsum("bfw,bfw->bf", pm, pm) / W, 0.0))
+        wcnt = jnp.maximum(wmask.sum(axis=-1).astype(f32), 1.0)[:, None, None]
+        pmean = profile_all.sum(axis=-1, keepdims=True) / wcnt
+        pm = (profile_all - pmean) * wmask[:, None, :]
+        cov = jnp.einsum("bfw,bgw->bfg", pm, pm) / wcnt
+        sd = jnp.sqrt(
+            jnp.maximum(jnp.einsum("bfw,bfw->bf", pm, pm) / wcnt[..., 0], 0.0)
+        )
         corr_mat = cov / (sd[:, :, None] * sd[:, None, :] + 1e-12)
         frame_corr = jnp.einsum(
             "bfg,bg->bf", corr_mat * fmask[:, None, :], frag_intensity
@@ -403,8 +424,10 @@ def score_candidates_batch(
     features = features.at[:, 32].set(top3_corr)
 
     # template-fragment frame correlation per obs, importance-reduced
-    tf_corr = pearson_rows(
-        frame_profile, jnp.broadcast_to(template[:, None, :, :], frame_profile.shape)
+    tf_corr = pearson_rows_masked(
+        frame_profile,
+        jnp.broadcast_to(template[:, None, :, :], frame_profile.shape),
+        jnp.broadcast_to(wmask[:, None, None, :], frame_profile.shape),
     )  # [B, KF, O2]
     tf_red = (tf_corr * obs_imp[:, None, :]).sum(axis=-1)  # [B, KF]
     # weights are the NORMALIZED library intensities (reference
@@ -500,8 +523,16 @@ def score_candidates_batch(
         )
 
     # ---- cycle FWHM ---------------------------------------------------
+    # fraction-above-half-max is over the CANDIDATE's own profile length
+    # (reference profile_features.py:133-139 divides by len(profile) where
+    # the dense profile spans frame_start..frame_stop) — never the padded
+    # batch window W, which would make the feature depend on batch geometry
     half_max = frame_profile.max(axis=-1, keepdims=True) * 0.5
-    frac_above = (frame_profile > half_max).sum(axis=-1).astype(f32) / W
+    cand_len = jnp.maximum(wmask.sum(axis=-1).astype(f32), 1.0)  # [B]
+    frac_above = (
+        (frame_profile > half_max).sum(axis=-1).astype(f32)
+        / cand_len[:, None, None]
+    )
     rt_width = (rt_stop - rt_start)[:, None, None]
     cycle_fwhm = frac_above * rt_width  # [B, KF, O2]
     fwhm_red = (cycle_fwhm * obs_imp[:, None, :]).sum(axis=-1)
@@ -509,12 +540,22 @@ def score_candidates_batch(
     features = features.at[:, 38].set((fwhm_red * intensity_norm).sum(axis=1))
 
     # ---- delta frame peak --------------------------------------------
-    peak_pos = jnp.argmax(frame_profile, axis=-1).astype(f32)  # [B, KF, O2]
+    # reference (profile_features.py:193-204): argmax over the candidate's
+    # OWN dense profile [frame_start, frame_stop), minus floor(len/2) — the
+    # midpoint of the candidate extent, NOT the window apex. Mask the
+    # padded window so cycles outside the extent can never win the argmax.
+    peak_pos = jnp.argmax(
+        jnp.where(wmask[:, None, None, :], frame_profile, -1.0), axis=-1
+    ).astype(f32)  # [B, KF, O2]
     med_peak = masked_median(
         peak_pos, fmask[:, :, None] & obs_valid[:, None, :], axis=1
     )  # [B, O2]
+    ext_center = (
+        (frame_start - cycle_start).astype(f32)
+        + jnp.floor((frame_stop - frame_start).astype(f32) / 2.0)
+    )  # [B] candidate midpoint in window coordinates
     features = features.at[:, 40].set(
-        ((med_peak - float(W // 2)) * obs_imp).sum(axis=-1)
+        ((med_peak - ext_center[:, None]) * obs_imp).sum(axis=-1)
     )
 
     # ---- MS2 mass errors ---------------------------------------------
@@ -773,8 +814,10 @@ def score_candidates_batch_sliced(
     """One dispatch per batch: slice the uploaded full candidate arrays on
     device and run the scoring kernel (a host-side eager slice per input
     array costs a dispatch round-trip each on the remote-TPU tunnel).
-    With ``pack_output`` the whole result comes back as one uint16 buffer
-    (one download per batch — see :func:`pack_scoring_output`)."""
+    With ``pack_output`` the whole result comes back as one buffer of
+    uint8 byte planes [itemsize, cols, batch] (one download per batch —
+    see :func:`pack_scoring_output` + ``wire_encode_jnp``; the host side
+    decodes with ``wire_decode_np``)."""
     sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
     out = score_candidates_batch(
         peak_mz, peak_intensity, peak_packed, peak_scanbin,

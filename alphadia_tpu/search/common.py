@@ -98,3 +98,23 @@ def assign_observation_slots(
     else:
         ms1_slots = np.full((n, 1), -1, np.int32)
     return ms2_slots.astype(np.int32), ms1_slots, win_lo, win_hi
+
+
+def prefetch_to_host(results) -> None:
+    """Kick off async device->host copies for every pending device buffer.
+
+    The harvest loops call ``np.asarray`` per batch with host-side wire
+    decode in between; without an async copy the tunnel/PCIe transfer of
+    batch N+1 waits for batch N's host decode (measured 10.6 of ~28 MB/s
+    tunnel utilization). Starting all copies first lets transfers pipeline
+    with both the remaining device compute and the host decode.
+    """
+    for r in results:
+        vals = r.values() if isinstance(r, dict) else (r,)
+        for v in vals:
+            fn = getattr(v, "copy_to_host_async", None)
+            if fn is not None:
+                try:
+                    fn()
+                except Exception:  # relay backends may not implement it
+                    return

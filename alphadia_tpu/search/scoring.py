@@ -10,6 +10,7 @@ derived columns like delta_rt) and the per-fragment quantification frame.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -27,6 +28,7 @@ from alphadia_tpu.search.common import (
     assign_observation_slots,
     data_parallel_mesh,
     pallas_available,
+    prefetch_to_host,
     top_k_fragment_order,
 )
 from alphadia_tpu.utils.device import (
@@ -146,6 +148,11 @@ class ScoringConfig:
     # 'bfloat16' halves HBM traffic of the dense intensity chains on TPU;
     # m/z and mass-error math stays f32 either way (tpu.compute_dtype)
     compute_dtype: str = "float32"
+    # bench instrumentation: block on uploads before dispatch and on all
+    # outputs after it, record the pure device compute time in
+    # CandidateScoring.last_device_seconds, and skip the download/decode
+    # leg entirely (returns empty frames). Never used in production.
+    bench_device_time: bool = False
 
 
 class CandidateScoring:
@@ -377,6 +384,12 @@ class CandidateScoring:
 
         batch_dev = {k: _full(k, arrays[k]) for k in _BATCH_KEYS}
 
+        if cfg.bench_device_time:
+            # stage ALL inputs before starting the clock
+            _jax.block_until_ready(list(batch_dev.values()))
+            _jax.block_until_ready(list(dev.values()))
+            _t_device0 = time.perf_counter()
+
         qs = np.asarray(cfg.quad_sigma, np.float32)
         qd = np.asarray(cfg.quad_delta_mu, np.float32)
         ftol = np.float32(cfg.fragment_mz_tolerance)
@@ -448,12 +461,25 @@ class CandidateScoring:
             )
             pending.append((bsz - pad, b0, packed))
 
+        if cfg.bench_device_time:
+            _jax.block_until_ready([p for _, _, p in pending])
+            self.last_device_seconds = (
+                time.perf_counter() - _t_device0
+            )
+            return _empty_psm_df(), _empty_fragment_df()
+
+        # pipeline the downloads: start every device->host copy now so the
+        # tunnel transfer of batch N+1 overlaps the host decode of batch N
+        prefetch_to_host([p for _, _, p in pending])
+
         from alphadia_tpu.ops.packing import wire_decode_np
 
         KF = cfg.top_k_fragments
         for take, b0, packed in pending:
             buf = np.asarray(packed)
-            # non-mesh path ships byte planes (compressible wire format)
+            # both the mesh and non-mesh paths ship byte planes (the
+            # compressible wire format); the dtype gate only guards the
+            # pack_output=False debug path, whose buffers are u16
             if buf.dtype == np.uint8:
                 buf = wire_decode_np(buf, np.uint16)
             features, valid, frag_out = unpack_scoring_output(

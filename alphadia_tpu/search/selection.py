@@ -12,6 +12,7 @@ kernel. Candidates come back as a dataframe in absolute cycle coordinates.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -32,6 +33,7 @@ from alphadia_tpu.search.common import (
     data_parallel_mesh,
     first_k_true,
     pallas_available,
+    prefetch_to_host,
     top_k_fragment_order,
 )
 from alphadia_tpu.utils.device import (
@@ -84,6 +86,11 @@ class SelectionConfig:
     mesh_devices: int | None = None
     max_ms2_obs: int = 2
     max_ms1_obs: int = 1
+    # bench instrumentation: block on uploads before dispatch and on all
+    # outputs after it, record pure device compute time in
+    # CandidateSelection.last_device_seconds, skip the download/decode leg
+    # (returns an empty frame). Never used in production.
+    bench_device_time: bool = False
 
 
 class CandidateSelection:
@@ -348,6 +355,12 @@ class CandidateSelection:
             ),
         }
 
+        if cfg.bench_device_time:
+            # stage ALL inputs before starting the clock
+            _jax.block_until_ready(list(batch_dev.values()))
+            _jax.block_until_ready(list(dev.values()))
+            _t_device0 = time.perf_counter()
+
         ftol = np.float32(cfg.fragment_mz_tolerance)
         ptol = np.float32(cfg.precursor_mz_tolerance)
         # u16 packed download (half the bytes) whenever every emitted value
@@ -436,6 +449,15 @@ class CandidateSelection:
                     **static_kw,
                 )
             pending.append((b0, bsz, pad, result))
+
+        if cfg.bench_device_time:
+            _jax.block_until_ready([p[-1] for p in pending])
+            self.last_device_seconds = time.perf_counter() - _t_device0
+            return _empty_candidates_df()
+
+        # pipeline the downloads: start every device->host copy now so the
+        # tunnel transfer of batch N+1 overlaps the host decode of batch N
+        prefetch_to_host([p[-1] for p in pending])
 
         K = cfg.candidate_count
         unpack_spec = {

@@ -37,7 +37,17 @@ def _decorator(*args, **kwargs):
 
 
 class _TypeExpr:
-    """Stands in for numba type expressions (nb.float64[:, ::1] etc.)."""
+    """Stands in for numba type expressions (nb.float64[:, ::1] etc.).
+
+    When built from a concrete numpy scalar type it carries a ``dtype``
+    attribute, which ``np.dtype()`` (and therefore ``ndarray.astype``)
+    falls back to — so reference code like ``arr.astype(nb.float32)``
+    works pure-python.
+    """
+
+    def __init__(self, np_dtype=None):
+        if np_dtype is not None:
+            self.dtype = np.dtype(np_dtype)
 
     def __getitem__(self, item):
         return self
@@ -46,7 +56,12 @@ class _TypeExpr:
         return self
 
     def __getattr__(self, name):
-        return self
+        if name.startswith("__") or name == "dtype":
+            raise AttributeError(name)
+        try:
+            return _TypeExpr(np.dtype(name))
+        except TypeError:
+            return _TypeExpr()
 
 
 def _pjit(*a, **k):
@@ -81,19 +96,57 @@ def install_stubs() -> None:
     nb.set_num_threads = lambda n: None
     for t in (
         "float32", "float64", "int8", "int16", "int32", "int64",
-        "uint8", "uint16", "uint32", "uint64", "boolean", "types",
+        "uint8", "uint16", "uint32", "uint64",
     ):
-        setattr(nb, t, _TypeExpr())
+        setattr(nb, t, _TypeExpr(getattr(np, t)))
+    nb.boolean = _TypeExpr(np.bool_)
+    nb.types = _TypeExpr()
+
+    def _jitclass(*args, **kwargs):
+        """jitclass stand-in: returns the class unchanged but attaches the
+        ``class_type.instance_type`` attribute some reference modules read
+        at import time (e.g. candidate.py:75 type annotations)."""
+
+        def attach(cls):
+            cls.class_type = types.SimpleNamespace(instance_type=cls)
+            return cls
+
+        if len(args) == 1 and isinstance(args[0], type) and not kwargs:
+            return attach(args[0])
+        return attach
+
+    class _ObjMode:
+        """``with nb.objmode(...):`` / ``with nb.objmode:`` no-op."""
+
+        def __call__(self, *a, **k):
+            return self
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _TypedDict(dict):
+        @staticmethod
+        def empty(key_type=None, value_type=None):
+            return {}
+
+    class _TypedList(list):
+        @staticmethod
+        def empty_list(t=None):
+            return []
 
     experimental = types.ModuleType("numba.experimental")
-    experimental.jitclass = _decorator
+    experimental.jitclass = _jitclass
     extending = types.ModuleType("numba.extending")
     extending.overload = lambda *a, **k: (lambda f: f)
     extending.overload_method = lambda *a, **k: (lambda f: f)
     extending.register_jitable = _decorator
     typed = types.ModuleType("numba.typed")
-    typed.List = list
-    typed.Dict = dict
+    typed.List = _TypedList
+    typed.Dict = _TypedDict
+    nb.objmode = _ObjMode()
     core = types.ModuleType("numba.core")
     core.types = _TypeExpr()
 
@@ -116,7 +169,39 @@ def install_stubs() -> None:
     rocket_ov = types.ModuleType("rocket_fft.overloads")
     rocket_ov.__getattr__ = _module_getattr
 
+    # alpharaw / alphatims.bruker: vendor reader base classes. Only the
+    # class objects are needed (alphadia.raw_data wrappers subclass them);
+    # the whole-pipeline parity tests construct the JIT data object
+    # directly from arrays and never call a vendor loader.
+    class _VendorBase:
+        def __init__(self, *a, **k):
+            pass
+
+    alpharaw = types.ModuleType("alpharaw")
+    ar_msdata = types.ModuleType("alpharaw.ms_data_base")
+    ar_msdata.MSData_Base = _VendorBase
+    ar_mzml = types.ModuleType("alpharaw.mzml")
+    ar_mzml.MzMLReader = _VendorBase
+    ar_sciex = types.ModuleType("alpharaw.sciex")
+    ar_sciex.SciexWiffData = _VendorBase
+    ar_thermo = types.ModuleType("alpharaw.thermo")
+    ar_thermo.ThermoRawData = _VendorBase
+    alpharaw.ms_data_base = ar_msdata
+    alpharaw.mzml = ar_mzml
+    alpharaw.sciex = ar_sciex
+    alpharaw.thermo = ar_thermo
+
+    atbruker = types.ModuleType("alphatims.bruker")
+    atbruker.TimsTOF = _VendorBase
+    alphatims.bruker = atbruker
+
     mods = {
+        "alpharaw": alpharaw,
+        "alpharaw.ms_data_base": ar_msdata,
+        "alpharaw.mzml": ar_mzml,
+        "alpharaw.sciex": ar_sciex,
+        "alpharaw.thermo": ar_thermo,
+        "alphatims.bruker": atbruker,
         "numba": nb,
         "numba.experimental": experimental,
         "numba.extending": extending,
@@ -165,3 +250,118 @@ def ref_module(dotted: str, file: str | None = None):
     sys.modules[key] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def _convolve_fourier_np(dense: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Numpy transliteration of the reference's numba-overloaded
+    ``fft.convolve_fourier`` (reference: alphadia/search/selection/fft.py:
+    139-212): circular 2D FFT convolution over the trailing two axes with
+    the quadrant shift that recenters the kernel at ``kernel.shape // 2``.
+    """
+    k0, k1 = kernel.shape
+    delta0, delta1 = -(k0 // 2), -(k1 // 2)
+    shape2 = dense.shape[-2:]
+    out = np.zeros_like(dense)
+    fourier_filter = np.fft.rfft2(kernel, shape2)
+    flat = dense.reshape((-1,) + shape2)
+    oflat = out.reshape((-1,) + shape2)
+    for i in range(flat.shape[0]):
+        layer = np.fft.irfft2(np.fft.rfft2(flat[i]) * fourier_filter, shape2).astype(
+            dense.dtype
+        )
+        oflat[i, delta0:, delta1:] = layer[:-delta0, :-delta1]
+        oflat[i, :delta0, delta1:] = layer[-delta0:, :-delta1]
+        oflat[i, delta0:, :delta1] = layer[:-delta0, -delta1:]
+        oflat[i, :delta0, :delta1] = layer[-delta0:, -delta1:]
+    return out
+
+
+def _assemble_isotope_mz_np(mono_mz, charge, isotope_intensity):
+    """Pure-python twin of the reference's overload-only
+    ``assemble_isotope_mz`` (reference: search/selection/utils.py:21-42)."""
+    offset = np.arange(len(isotope_intensity)) * 1.0033548350700006 / charge
+    isotope_mz = np.zeros(len(isotope_intensity), dtype=np.float32)
+    isotope_mz[:] = mono_mz
+    isotope_mz += offset
+    return isotope_mz
+
+
+def _fragment_container_slice(inst, slices):
+    """Pure-python twin of the overload-only ``FragmentContainer.slice``
+    (reference: search/scoring/utils.py:413-478)."""
+    idx = np.concatenate(
+        [np.arange(start, stop) for start, stop, _step in slices]
+    ).astype(np.int64) if len(slices) else np.zeros(0, np.int64)
+    precursor_idx = np.concatenate(
+        [np.full(stop - start, i, np.uint32) for i, (start, stop, _s) in enumerate(slices)]
+    ) if len(slices) else np.zeros(0, np.uint32)
+    cls = type(inst)
+    f = cls(
+        inst.mz_library[idx].astype(np.float32),
+        inst.mz[idx].astype(np.float32),
+        inst.intensity[idx].astype(np.float32),
+        inst.type[idx].astype(np.uint8),
+        inst.loss_type[idx].astype(np.uint8),
+        inst.charge[idx].astype(np.uint8),
+        inst.number[idx].astype(np.uint8),
+        inst.position[idx].astype(np.uint8),
+        inst.cardinality[idx].astype(np.uint8),
+    )
+    f.precursor_idx = precursor_idx
+    return f
+
+
+def patch_fft_numpy(selection_mod) -> None:
+    """Give the loaded reference selection module a runnable
+    ``convolve_fourier`` and ``assemble_isotope_mz`` (the real ones only
+    exist as numba overloads)."""
+    selection_mod.fft.convolve_fourier = _convolve_fourier_np
+    selection_mod.assemble_isotope_mz = _assemble_isotope_mz_np
+
+
+def patch_scoring_runtime(scoring_mod) -> None:
+    """Attach the overload-only ``FragmentContainer.slice`` to the
+    de-jitted class so ``Candidate.process`` runs pure-python."""
+    scoring_mod.FragmentContainer.slice = _fragment_container_slice
+
+
+def build_ref_alpharaw(spectra):
+    """Construct the reference ``AlphaRawJIT`` (de-jitted by the stubs)
+    from an alphadia_tpu ``SpectrumData`` — the same arrays our own
+    ``DiaData.from_spectra`` consumes, so both engines read identical
+    peaks.  Mirrors ``AlphaRaw._preprocess_raw_data`` + ``to_jitclass``
+    (reference: alphadia/raw_data/alpharaw_wrapper.py:72-146) with RT
+    already in seconds.
+    """
+    jit_mod = ref_module(
+        "alphadia.search.jitclasses.alpharaw_jit",
+        "alphadia/search/jitclasses/alpharaw_jit.py",
+    )
+    ms_level = np.asarray(spectra.ms_level)
+    iso_lo = np.asarray(spectra.isolation_lower_mz, np.float64)
+    iso_hi = np.asarray(spectra.isolation_upper_mz, np.float64)
+    # acquisition starts at a cycle boundary (slot 0 = MS1) by construction
+    slots_per_cycle = int(np.argmax(ms_level[1:] == 1)) + 1
+    cycle = np.zeros((1, slots_per_cycle, 1, 2), dtype=np.float64)
+    cycle[0, :, 0, 0] = iso_lo[:slots_per_cycle]
+    cycle[0, :, 0, 1] = iso_hi[:slots_per_cycle]
+
+    n_spectra = len(ms_level)
+    ms2 = ms_level == 2
+    return jit_mod.AlphaRawJIT(
+        cycle,
+        np.asarray(spectra.rt, np.float32),
+        np.array([1e-6, 0.0], np.float32),  # DEFAULT_VALUE_NO_MOBILITY
+        0,  # zeroth_frame
+        np.float32(np.asarray(spectra.mz).max()),
+        np.float32(np.asarray(spectra.mz).min()),
+        np.float32(iso_hi[ms2].max()),
+        np.float32(iso_lo[ms2].min()),
+        n_spectra // slots_per_cycle,  # precursor_cycle_max_index
+        np.asarray(spectra.peak_start_idx, np.int64),
+        np.asarray(spectra.peak_stop_idx, np.int64),
+        np.asarray(spectra.mz, np.float32),
+        np.asarray(spectra.intensity, np.float32),
+        1,  # scan_max_index (no mobility)
+        n_spectra - 1,  # frame_max_index
+    )

@@ -208,8 +208,11 @@ def test_wire_byte_planes_roundtrip():
     rng = np.random.default_rng(3)
     for dtype in (np.uint16, np.uint32):
         buf = rng.integers(
-            0, np.iinfo(dtype).max, size=(37, 23), dtype=dtype
+            0, np.iinfo(dtype).max, size=(37, 23), dtype=dtype, endpoint=True
         )
+        # pin the edge values (0 and all-ones) into the round trip
+        buf[0, 0] = 0
+        buf[-1, -1] = np.iinfo(dtype).max
         planes = np.asarray(wire_encode_jnp(buf))
         assert planes.dtype == np.uint8
         assert planes.shape == (np.dtype(dtype).itemsize, 23, 37)

@@ -80,10 +80,14 @@ def test_batched_prediction_equals_unbatched():
     identical results to one whole-input apply."""
     import numpy as np
 
+    from pathlib import Path
+
+    import alphadia_tpu
     from alphadia_tpu.models.finetune import FinetuneManager
 
     mgr = FinetuneManager.load(
-        "alphadia_tpu/constants/weights/peptdeep_default"
+        Path(alphadia_tpu.__file__).parent
+        / "constants" / "weights" / "peptdeep_default"
     )
     rng = np.random.default_rng(5)
     aas = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
@@ -95,7 +99,8 @@ def test_batched_prediction_equals_unbatched():
     full_rt = mgr.predict_rt(seqs)
     full_ms2 = mgr.predict_ms2(seqs, None, None, charges)
     mgr_small = FinetuneManager.load(
-        "alphadia_tpu/constants/weights/peptdeep_default"
+        Path(alphadia_tpu.__file__).parent
+        / "constants" / "weights" / "peptdeep_default"
     )
     mgr_small.PREDICT_BATCH = 16  # force chunking + tail padding
     np.testing.assert_allclose(mgr_small.predict_rt(seqs), full_rt, rtol=1e-5)

@@ -201,7 +201,10 @@ def _expected():
 
     e["f_masked"] = n_valid / 4.0
     cycle_rt = np.arange(N_CYCLES, dtype=np.float64)
-    e["base_width_rt"] = cycle_rt[FRAME_STOP - 1] - cycle_rt[FRAME_START]
+    # exclusive stop: full candidate span (kernel matches the reference's
+    # spectrum-granularity rt_values[stop-1]-rt_values[start] to within
+    # cycle_time/n_slots)
+    e["base_width_rt"] = cycle_rt[FRAME_STOP] - cycle_rt[FRAME_START]
     e["rt_observed"] = cycle_rt[FRAME_CENTER]
     e["mobility_observed"] = 1e-6
     e["base_width_mobility"] = 0.0
@@ -273,19 +276,26 @@ def _expected():
     )
 
     # --- frame correlations (experimental XIC: median reference profile) ---
-    norm_prof = prof / np.maximum(prof.sum(axis=1, keepdims=True), 1e-12)
+    # reference convention: profiles are center±1-mean normalized
+    # (scoring_utils.py normalize_profiles) and correlations run over the
+    # candidate window only (dense profiles span frame_start..frame_stop)
+    cand = slice(FRAME_START, FRAME_STOP)
+    center_int = prof[:, FRAME_CENTER - 1 : FRAME_CENTER + 2].mean(
+        axis=1, keepdims=True
+    )
+    norm_prof = np.where(center_int > 0, prof / np.maximum(center_int, 1e-12), 0.0)
     med = np.zeros(W)
     for w in range(W):
         if wmask[w]:
             med[w] = np.median(norm_prof[fmask, w])
-    frame_corr = np.array([_pearson(med, prof[f]) for f in range(4)])
+    frame_corr = np.array([_pearson(med[cand], prof[f][cand]) for f in range(4)])
     e["fragment_frame_correlation"] = frame_corr[fmask].mean()
     top3 = np.argsort(-np.where(fmask, lib_int, -np.inf))[:3]
     e["top3_frame_correlation"] = frame_corr[top3].mean()
 
     # template profile = ms1 * sum(iso_lib * iso_obs); correlated per fragment
     template = ms1 * (ISO_LIB.astype(np.float64) * ISO_OBS).sum()
-    tf_corr = np.array([_pearson(prof[f], template) for f in range(4)])
+    tf_corr = np.array([_pearson(prof[f][cand], template[cand]) for f in range(4)])
     # weighted by NORMALIZED library intensity (reference
     # profile_features.py:84; verified against the reference function in
     # tests/parity)
@@ -304,7 +314,9 @@ def _expected():
 
     # --- FWHM / peak-position features ---
     rt_width = e["base_width_rt"]
-    frac = (prof > 0.5 * prof.max(axis=1, keepdims=True)).sum(axis=1) / W
+    # fraction over the candidate's own window length (not the padded W)
+    cand_len = FRAME_STOP - FRAME_START
+    frac = (prof > 0.5 * prof.max(axis=1, keepdims=True)).sum(axis=1) / cand_len
     e["cycle_fwhm"] = (frac * rt_width * int_norm_all).sum()
     # all observed apexes sit at cycle 8 == C -> median displacement 0
     e["delta_frame_peak"] = 0.0

@@ -13,8 +13,8 @@ Handles real converter output (msconvert / timsconvert):
 - ion mobility: per-peak inverse-reduced-mobility binary arrays
   (MS:1002816 / MS:1003006) and per-spectrum scan mobility (MS:1002815,
   broadcast over the spectrum's peaks — timsconvert frame-split layout)
-- MS-Numpress arrays are detected and rejected with a clear message
-  (re-convert without numpress) instead of producing garbage.
+- MS-Numpress arrays (linear / slof / pic, each optionally + zlib) are
+  decoded natively (rawdata/numpress.py).
 
 Profile-mode spectra (MS:1000128) are centroided on the fly: intensity
 traces are split at zero gaps and local minima, each segment becomes one
@@ -53,14 +53,14 @@ ACC_MOB_ARRAY_MEAN_INV = "MS:1002816"  # mean inverse reduced ion mobility array
 ACC_MOB_ARRAY_MEAN = "MS:1003006"  # mean ion mobility array
 ACC_MOB_ARRAY_RAW_INV = "MS:1003007"  # raw inverse reduced ion mobility array
 ACC_SCAN_INV_MOB = "MS:1002815"  # inverse reduced ion mobility (scan-level)
-# MS-Numpress (not supported — detect, don't mis-decode)
+# MS-Numpress: (codec, zlib-after-numpress) per accession
 ACC_NUMPRESS = {
-    "MS:1002312": "numpress linear",
-    "MS:1002313": "numpress positive int",
-    "MS:1002314": "numpress slof",
-    "MS:1002746": "numpress linear + zlib",
-    "MS:1002747": "numpress positive int + zlib",
-    "MS:1002748": "numpress slof + zlib",
+    "MS:1002312": ("linear", False),
+    "MS:1002313": ("pic", False),
+    "MS:1002314": ("slof", False),
+    "MS:1002746": ("linear", True),
+    "MS:1002747": ("pic", True),
+    "MS:1002748": ("slof", True),
 }
 # time units
 UNIT_MINUTE = "UO:0000031"
@@ -74,6 +74,7 @@ def _decode_binary(data_elem) -> tuple[str | None, np.ndarray]:
     dtype = np.float64
     compressed = False
     kind = None
+    numpress = None
     for cv in data_elem.iter(f"{_NS}cvParam"):
         acc = cv.get("accession")
         if acc == ACC_F64:
@@ -89,17 +90,22 @@ def _decode_binary(data_elem) -> tuple[str | None, np.ndarray]:
         elif acc in _MOB_ARRAY_ACCS:
             kind = "mobility"
         elif acc in ACC_NUMPRESS:
-            raise NotImplementedError(
-                f"mzML uses MS-Numpress compression ({ACC_NUMPRESS[acc]}); "
-                "re-convert without numpress (msconvert default encoding, "
-                "e.g. `msconvert --zlib`)"
-            )
+            numpress, compressed = ACC_NUMPRESS[acc]
     b = data_elem.find(f"{_NS}binary")
     if b is None or not b.text:
         return kind, np.zeros(0, dtype)
     raw = base64.b64decode(b.text)
     if compressed:
         raw = zlib.decompress(raw)
+    if numpress is not None:
+        from alphadia_tpu.rawdata import numpress as np_codec
+
+        decode = {
+            "linear": np_codec.decode_linear,
+            "slof": np_codec.decode_slof,
+            "pic": np_codec.decode_pic,
+        }[numpress]
+        return kind, decode(raw)
     return kind, np.frombuffer(raw, dtype=dtype)
 
 

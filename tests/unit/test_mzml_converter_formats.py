@@ -238,24 +238,55 @@ def test_scan_level_mobility_broadcast(tmp_path):
     np.testing.assert_allclose(out.mobility, [0.85, 0.85, 0.95])
 
 
-def test_numpress_rejected_with_clear_message(tmp_path):
-    b = base64.b64encode(struct.pack("<4d", 1, 2, 3, 4)).decode()
-    spec = (
-        '<spectrum index="0" id="scan=1" defaultArrayLength="4">'
-        '<cvParam cvRef="MS" accession="MS:1000511" name="ms level" value="1"/>'
-        '<binaryDataArrayList count="1">'
-        f'<binaryDataArray encodedLength="{len(b)}">'
-        '<cvParam cvRef="MS" accession="MS:1002312" name="MS-Numpress linear prediction compression"/>'
-        '<cvParam cvRef="MS" accession="MS:1000514" name="m/z array"/>'
-        f"<binary>{b}</binary></binaryDataArray>"
-        "</binaryDataArrayList></spectrum>"
-    )
-    doc = _indexed_mzml([])
-    doc = doc.replace("</spectrumList>", spec + "</spectrumList>")
+def test_numpress_mzml_decodes(tmp_path):
+    """msconvert `--numpressLinear --numpressSlof` layout: numpress-linear
+    m/z (plain and +zlib) and numpress-slof intensities parse to the
+    original arrays within codec tolerance."""
+    from alphadia_tpu.rawdata.numpress import encode_linear, encode_slof
+
+    mz1 = np.sort(np.random.default_rng(3).uniform(400.0, 1200.0, 64))
+    it1 = np.random.default_rng(4).uniform(1.0, 1e6, 64)
+
+    def _np_array(payload, acc, name, kind_cv):
+        b = base64.b64encode(payload).decode()
+        return (
+            f'<binaryDataArray encodedLength="{len(b)}">'
+            f'<cvParam cvRef="MS" accession="{acc}" name="{name}"/>'
+            f"{kind_cv}<binary>{b}</binary></binaryDataArray>"
+        )
+
+    mz_cv = '<cvParam cvRef="MS" accession="MS:1000514" name="m/z array"/>'
+    it_cv = '<cvParam cvRef="MS" accession="MS:1000515" name="intensity array"/>'
+    specs = []
+    for idx, (mz_acc, mz_payload) in enumerate(
+        [
+            ("MS:1002312", encode_linear(mz1)),
+            ("MS:1002746", zlib.compress(encode_linear(mz1))),
+        ]
+    ):
+        specs.append(
+            f'<spectrum index="{idx}" id="scan={idx + 1}" defaultArrayLength="64">'
+            '<cvParam cvRef="MS" accession="MS:1000511" name="ms level" value="1"/>'
+            '<cvParam cvRef="MS" accession="MS:1000127" name="centroid spectrum"/>'
+            "<scanList count=\"1\"><scan>"
+            '<cvParam cvRef="MS" accession="MS:1000016" name="scan start time" '
+            f'value="{0.5 + idx / 100}" unitAccession="UO:0000031" unitName="minute"/>'
+            "</scan></scanList>"
+            '<binaryDataArrayList count="2">'
+            + _np_array(mz_payload, mz_acc, "MS-Numpress linear prediction compression", mz_cv)
+            + _np_array(encode_slof(it1), "MS:1002314",
+                        "MS-Numpress short logged float compression", it_cv)
+            + "</binaryDataArrayList></spectrum>"
+        )
+    doc = _indexed_mzml([]).replace("</spectrumList>", "".join(specs) + "</spectrumList>")
     p = tmp_path / "np.mzML"
     p.write_bytes(doc.encode())
-    with pytest.raises(NotImplementedError, match="[Nn]umpress"):
-        read_mzml(p)
+    out = read_mzml(p)
+    assert out.n_spectra == 2
+    for i in range(2):
+        sl = slice(out.peak_start_idx[i], out.peak_stop_idx[i])
+        np.testing.assert_allclose(out.mz[sl], mz1, atol=1e-5)
+        np.testing.assert_allclose(out.intensity[sl], it1, rtol=5e-4, atol=0.5)
 
 
 def test_empty_spectrum_and_uncompressed_f32(tmp_path):

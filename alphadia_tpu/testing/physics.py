@@ -11,10 +11,12 @@ basic-residue-driven charge states, and a CCS ~ (m/z)^0.6 power law — plus
 a seeded random interaction table so the mapping is richer than any
 hand-written heuristic: a model must LEARN it, not hard-code it.
 
-Everything is a pure function of (sequence, charge, world seed): the same
-world generates the training corpus, the planted acquisition, and the
-held-out evaluation, while remaining disjoint from the predictors under
-test.
+Everything is a pure function of (sequence, charge, world seed). Each
+seed is one "laboratory/batch" with its own interaction-table
+idiosyncrasies: the packaged property models train on a MIXTURE of world
+seeds and are gated and e2e-tested on worlds they never saw
+(scripts/train_property_models.py), so evaluation measures transfer of
+the shared chemistry, not memorization of one world's random tables.
 """
 
 from __future__ import annotations

@@ -7,8 +7,10 @@ intensities come from the seeded peptide-physics world
 Arm A searches with the truth library (upper bound); arm B runs the
 library-free FASTA branch, which predicts RT/MS2 with the PACKAGED
 pretrained models (constants/weights/peptdeep_default). The packaged
-models were trained on random peptides from the same physics world but
-never on these protein sequences.
+models were trained on random peptides in DIFFERENT world seeds
+(2026/3571/9110) — this acquisition's world (seed 7311) and its protein
+sequences are both unseen, so the gate measures cross-world
+generalization of the learned chemistry.
 
 (reference analog: library-free search powered by pretrained peptdeep
 models, alphadia/libtransform/prediction.py:14-90.)
@@ -47,7 +49,11 @@ MNIFEMLRIDEGLRLKIYKDTEGYYTIGIGHLLTKSPSLNAAKSELDKAIGRNTNGVITKDEAEKLFNQDVDAAVRGILR
 MQIFVKTLTGKTITLEVEPSDTIENVKAKIQDKEGIPPDQQRLIFAGKQLEDGRTLSDYNIQKESTLHLVLRLRGG
 """
 
-_PHYSICS = PeptidePhysics()
+# a world seed the packaged models were NEVER trained or gated on
+# (train seeds 2026/3571/9110, training-script eval seed 4053 — see
+# scripts/train_property_models.py) so recovery here measures
+# generalization to fresh chemistry, not memorization of the world
+_PHYSICS = PeptidePhysics(seed=7311)
 
 
 def _truth_library():
@@ -139,9 +145,10 @@ def test_library_free_matches_library_based(tmp_path):
     seq_free = set(ids_free["precursor.sequence"])
     assert len(ids_lib) > 20, f"library-based arm found only {len(ids_lib)}"
     # pretrained models must reach within 15% of the library-grade IDs
-    # (measured 2026-08: ratio 0.98, overlap 1.0 — the margin only covers
-    # run-to-run jitter, not model regressions)
+    # ON A WORLD THEY NEVER SAW (margin covers run-to-run jitter only)
     ratio = len(seq_free) / max(len(seq_lib), 1)
+    print(f"\ncross-world library-free ratio {ratio:.3f} "
+          f"({len(seq_free)}/{len(seq_lib)} sequences)")
     assert ratio > 0.85, (
         f"library-free {len(seq_free)} vs library-based {len(seq_lib)} "
         f"sequences (ratio {ratio:.2f})"

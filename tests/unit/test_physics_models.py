@@ -58,7 +58,9 @@ def test_packaged_models_load_and_beat_heuristic():
     mgr = SimplePrediction()._load_manager()
     assert mgr is not None and "rt" in mgr.variables and "ms2" in mgr.variables
 
-    physics = PeptidePhysics()
+    # a world seed the packaged models never saw (train: 2026/3571/9110)
+    # — asserts cross-world transfer of the learned chemistry
+    physics = PeptidePhysics(seed=555)
     rng = np.random.default_rng(123)
     aa = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
     seqs = [

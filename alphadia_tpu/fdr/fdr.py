@@ -84,12 +84,14 @@ def perform_fdr(
         )
         lr.fit(Xz, y)
         psm_df["proba"] = lr.predict_proba(Xz)[:, 1]
+        estimator = "logistic"
     elif n_d == 0:
         logger.warning(
             f"FDR: no decoy PSMs among {n_t} candidates; decoy-counting "
             "q-values are 0 by construction"
         )
         psm_df["proba"] = 0.0
+        estimator = "no_decoy"
     else:
         rng = np.random.default_rng(random_state)
         perm = rng.permutation(len(X))
@@ -98,6 +100,7 @@ def perform_fdr(
         classifier.fit(X[train_idx], y[train_idx])
 
         psm_df["proba"] = classifier.predict_proba(X)[:, 1]
+        estimator = "nn"
     psm_df.sort_values(["proba", "precursor_idx"], ascending=True, inplace=True)
     psm_df = get_q_values(psm_df, "proba", "_decoy")
 
@@ -125,6 +128,9 @@ def perform_fdr(
     if figure_path is not None:
         _plot_fdr(psm_df, figure_path)
 
+    # which estimator actually ranked the PSMs (read by callers/tests;
+    # set last because pandas ops above do not propagate .attrs reliably)
+    psm_df.attrs["fdr_estimator"] = estimator
     return psm_df
 
 

@@ -109,6 +109,10 @@ def _apply_fixed_mods(
 ) -> tuple[str, str]:
     names, sites = [], []
     for mod, site_aa in fixed_mods:
+        if site_aa == "Any_N-term":  # e.g. fixed TMT/mTRAQ labeling
+            names.append(f"{mod}@{site_aa}")
+            sites.append("0")
+            continue
         for i, aa in enumerate(sequence):
             if aa == site_aa:
                 names.append(f"{mod}@{site_aa}")

@@ -22,14 +22,9 @@ from alphadia_tpu.library.pipeline import ProcessingStep
 from alphadia_tpu.library.speclib import SpecLibBase, SpecLibFlat, _df_from_hdf
 from alphadia_tpu.reporting import logger
 
-_UNIMOD_NAMES = {
-    1: "Acetyl",
-    4: "Carbamidomethyl",
-    7: "Deamidated",
-    21: "Phospho",
-    35: "Oxidation",
-    121: "GlyGly",
-}
+# UniMod accession -> name, from the generated common-mods table
+# (constants/unimod_common.tsv via chem.py)
+from alphadia_tpu.library.chem import UNIMOD_ID_TO_NAME as _UNIMOD_NAMES
 
 # column aliases in long-format transition lists
 _PRECURSOR_ALIASES = {

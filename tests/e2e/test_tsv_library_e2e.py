@@ -140,3 +140,76 @@ def test_tsv_transition_list_search(tmp_path):
     # every identified sequence is a real digest peptide
     assert set(psm["precursor.sequence"]) <= set(lib.precursor_df["sequence"])
     assert psm["pg.name"].notna().all()
+
+
+@pytest.mark.slow
+def test_phospho_tmt_tsv_library_search(tmp_path):
+    """Mod-heavy library: fixed TMTpro on K + every N-terminus, variable
+    Phospho on S — all resolved from the generated UniMod table
+    (constants/unimod_common.tsv) with no manual registration.
+
+    (reference analog: alphabase's bundled UniMod table powering
+    mod-heavy libraries through alphadia/libtransform/.)
+    """
+    _UNIMOD.update({"Phospho": 21, "TMTpro": 2016})
+
+    fasta = tmp_path / "t.fasta"
+    fasta.write_text(_FASTA)
+
+    lib = digest_fasta(
+        [str(fasta)],
+        missed_cleavages=0,
+        fixed_modifications="Carbamidomethyl@C;TMTpro@K;TMTpro@Any_N-term",
+        variable_modifications="Phospho@S",
+        max_var_mod_num=1,
+    )
+    lib = PrecursorInitializer()(lib)
+    lib = SimplePrediction()(lib)
+    lib = IsotopeGenerator()(lib)
+    prec = lib.precursor_df
+    assert prec["mods"].str.contains("TMTpro").all(), "fixed TMT not applied"
+    assert prec["mods"].str.contains("Phospho").any(), "no phospho forms"
+
+    tsv = tmp_path / "library.tsv"
+    n_groups = _write_transition_list(lib, tsv)
+    assert n_groups == len(prec)
+
+    flat = InitFlatColumns()(FlattenLibrary()(lib.copy()))
+    spectra = make_run_from_library(
+        flat.precursor_df,
+        flat.fragment_df,
+        SyntheticConfig(
+            n_windows=6, n_cycles=350, noise_peaks_per_spectrum=40, seed=6,
+            detectable_fraction=0.9,
+        ),
+    )
+    raw = tmp_path / "run.mzML"
+    write_mzml(raw, spectra)
+
+    from alphadia_tpu.cli import run
+
+    overrides = {
+        "general": {"random_state": 6, "save_figures": False},
+        "calibration": {
+            "batch_size": 200,
+            "optimization_lock_target": 30,
+            "min_steps": 2,
+            "max_steps": 5,
+        },
+        "search": {
+            "target_ms1_tolerance": 10,
+            "target_ms2_tolerance": 12,
+            "target_rt_tolerance": 60,
+        },
+        "tpu": {"selection_batch": 256, "scoring_batch": 256},
+    }
+    out_dir = tmp_path / "out"
+    run(["-o", str(out_dir), "-f", str(raw), "-l", str(tsv),
+         "--config-dict", json.dumps(overrides)])
+
+    psm = pd.read_parquet(out_dir / "precursors.parquet")
+    assert len(psm) > 20, f"only {len(psm)} IDs from phospho-TMT library"
+    assert set(psm["precursor.sequence"]) <= set(prec["sequence"])
+    # the mod-heavy forms themselves are identified, not just base peptides
+    assert psm["precursor.mods"].str.contains("TMTpro").all()
+    assert psm["precursor.mods"].str.contains("Phospho").any()

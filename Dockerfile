@@ -40,6 +40,11 @@ RUN pip install --no-cache-dir "${JAX_VARIANT}" && \
 # baseline: the image may run on a different CPU than the build machine.
 RUN ALPHADIA_TPU_NATIVE_ARCH=x86-64-v2 python -c "from alphadia_tpu.native import get_lib; assert get_lib() is not None, 'native build failed'"
 
+# build the one-file release artifact inside the image so it can be
+# exported without a checkout: docker cp <ctr>:/app/dist/alphadia-tpu.pyz .
+COPY scripts/build_release.py ./scripts/build_release.py
+RUN python scripts/build_release.py
+
 USER alphadia
 ENTRYPOINT ["alphadia-tpu"]
 CMD ["--help"]

@@ -9,6 +9,10 @@ API:
   POST /api/run             -> start a search subprocess (one at a time)
   GET  /api/status          -> job state + log tail + output summary
   POST /api/cancel          -> terminate the running job's process group
+  GET  /api/history         -> past runs (persisted across GUI restarts)
+  GET  /api/results?output= -> output-dir summary: stat.tsv rows, ID
+                               counts from precursors.parquet, figures
+  GET  /api/figure?path=    -> serve a figure (confined to history dirs)
 """
 
 from __future__ import annotations
@@ -36,14 +40,90 @@ RAW_SUFFIXES = {".mzml", ".hdf", ".hdf5", ".h5", ".npz", ".d"}
 LIB_SUFFIXES = {".hdf", ".hdf5", ".h5", ".tsv", ".csv"}
 
 
+def _history_path() -> Path:
+    root = Path(
+        os.environ.get("ALPHADIA_TPU_CACHE", Path.home() / ".cache" / "alphadia_tpu")
+    )
+    root.mkdir(parents=True, exist_ok=True)
+    return root / "gui_history.json"
+
+
+class RunHistory:
+    """Persisted list of past runs (the reference GUI's workflow list).
+
+    Doubles as the allow-list confining /api/results and /api/figure to
+    directories the user actually launched runs into."""
+
+    MAX = 40
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        try:
+            self._runs = json.loads(_history_path().read_text())
+        except (OSError, json.JSONDecodeError):
+            self._runs = []
+
+    def record(self, output: str, state: str, n_raw: int) -> None:
+        import time as _time
+
+        with self._lock:
+            self._runs = [r for r in self._runs if r["output"] != output]
+            self._runs.insert(
+                0,
+                {
+                    "output": output,
+                    "state": state,
+                    "n_raw": n_raw,
+                    "time": _time.strftime("%Y-%m-%d %H:%M:%S"),
+                },
+            )
+            del self._runs[self.MAX :]
+            try:
+                _history_path().write_text(json.dumps(self._runs, indent=1))
+            except OSError:
+                pass
+
+    def update_state(self, output: str, state: str) -> None:
+        with self._lock:
+            for r in self._runs:
+                if r["output"] == output:
+                    r["state"] = state
+                    break
+            try:
+                _history_path().write_text(json.dumps(self._runs, indent=1))
+            except OSError:
+                pass
+
+    def list(self) -> list[dict]:
+        with self._lock:
+            return [dict(r) for r in self._runs]
+
+    def allowed(self, path_str: str) -> bool:
+        """True when path is inside one of the recorded output dirs."""
+        try:
+            p = Path(path_str).resolve()
+        except OSError:
+            return False
+        with self._lock:
+            roots = [r["output"] for r in self._runs]
+        for root in roots:
+            try:
+                p.relative_to(Path(root).resolve())
+                return True
+            except ValueError:
+                continue
+        return False
+
+
 class JobManager:
     """Single-slot search job runner (the GUI runs one plan at a time,
     matching the reference GUI's sequential run model)."""
 
-    def __init__(self):
+    def __init__(self, history: RunHistory | None = None):
         self._lock = threading.Lock()
         self._proc: subprocess.Popen | None = None
         self._info: dict = {"state": "idle"}
+        self.history = history or RunHistory()
 
     def start(self, payload: dict) -> dict:
         with self._lock:
@@ -96,6 +176,7 @@ class JobManager:
                 "log_path": str(log_path),
                 "cmd": cmd,
             }
+            self.history.record(output, "running", len(raw_files))
             return {"ok": True, "pid": self._proc.pid}
 
     def status(self) -> dict:
@@ -117,6 +198,10 @@ class JobManager:
                     # with this (now stale) terminal record
                     if self._proc is proc:
                         self._info = dict(info)
+                if info.get("output_directory"):
+                    self.history.update_state(
+                        info["output_directory"], info["state"]
+                    )
         log_path = info.get("log_path")
         if log_path and Path(log_path).exists():
             # the front-end polls this every ~2 s: read only the tail,
@@ -180,6 +265,55 @@ def _browse(path_str: str) -> dict:
     return {"path": str(path), "parent": str(path.parent), "entries": entries}
 
 
+def _results(output: str) -> dict:
+    """Summarize one finished output directory for the Results tab."""
+    out_dir = Path(output)
+    if not out_dir.is_dir():
+        return {"error": f"not a directory: {output}"}
+    res: dict = {"output": str(out_dir)}
+
+    stat = out_dir / "stat.tsv"
+    if stat.exists():
+        import csv
+
+        with open(stat) as f:
+            rows = list(csv.DictReader(f, delimiter="\t"))
+        # round floats for display; keep a bounded, stable column order
+        res["stat"] = rows[:50]
+
+    prec = out_dir / "precursors.parquet"
+    if prec.exists():
+        import pandas as pd
+
+        df = pd.read_parquet(prec)
+        summary = {"precursors": int(len(df))}
+        if "precursor.sequence" in df.columns:
+            summary["peptides"] = int(df["precursor.sequence"].nunique())
+        if "pg.name" in df.columns:
+            summary["protein_groups"] = int(df["pg.name"].nunique())
+        if "run" in df.columns:
+            summary["runs"] = int(df["run"].nunique())
+        res["summary"] = summary
+
+    figures = []
+    for pattern in ("figures/*.png", "quant/*/figures/*.png"):
+        for p in sorted(out_dir.glob(pattern)):
+            figures.append(str(p))
+    res["figures"] = figures[:200]
+
+    tables = {}
+    for name in (
+        "precursors.parquet", "stat.tsv", "internal.tsv",
+        "pg.matrix.parquet", "precursor.matrix.parquet",
+        "peptide.matrix.parquet", "speclib.mbr.hdf", "log.txt",
+    ):
+        p = out_dir / name
+        if p.exists():
+            tables[name] = p.stat().st_size
+    res["files"] = tables
+    return res
+
+
 def make_handler(jobs: JobManager, token: str):
     """Request handler bound to one JobManager and one auth token.
 
@@ -238,6 +372,36 @@ def make_handler(jobs: JobManager, token: str):
             elif url.path == "/api/browse":
                 q = parse_qs(url.query)
                 self._json(_browse(q.get("path", [""])[0]))
+            elif url.path == "/api/history":
+                self._json({"runs": jobs.history.list()})
+            elif url.path == "/api/results":
+                q = parse_qs(url.query)
+                out = q.get("output", [""])[0]
+                if not jobs.history.allowed(out):
+                    self._json({"error": "unknown output directory"}, 403)
+                    return
+                try:
+                    self._json(_results(out))
+                except Exception as e:
+                    self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+            elif url.path == "/api/figure":
+                q = parse_qs(url.query)
+                p = q.get("path", [""])[0]
+                # confined: inside a recorded run dir, png only, no links
+                if (
+                    not jobs.history.allowed(p)
+                    or not p.endswith(".png")
+                    or not Path(p).is_file()
+                    or Path(p).is_symlink()
+                ):
+                    self._json({"error": "forbidden"}, 403)
+                    return
+                body = Path(p).read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json({"error": "not found"}, 404)
 

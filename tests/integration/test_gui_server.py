@@ -27,9 +27,13 @@ TOKEN = "test-token-123"
 
 
 @pytest.fixture()
-def server():
+def server(tmp_path_factory, monkeypatch):
     from http.server import ThreadingHTTPServer
 
+    # isolate the persisted run history from the user's real cache
+    monkeypatch.setenv(
+        "ALPHADIA_TPU_CACHE", str(tmp_path_factory.mktemp("gui_cache"))
+    )
     httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0), make_handler(JobManager(), TOKEN)
     )
@@ -177,3 +181,24 @@ def test_run_search_through_gui(server, tmp_path, monkeypatch):
     assert state == "done", f"state={state} log={st.get('log_tail', '')[-2000:]}"
     assert "precursors.parquet" in st.get("results", {})
     assert (out / "precursors.parquet").exists()
+
+    # ---- run history records the finished run -------------------------
+    hist = _get(server + "/api/history")["runs"]
+    assert hist and hist[0]["output"] == str(out)
+    assert hist[0]["state"] == "done"
+
+    # ---- results summary over the recorded output dir -----------------
+    res = _get(server + "/api/results?output=" + str(out))
+    assert res["summary"]["precursors"] > 0
+    assert "stat.tsv" in res["files"]
+    assert isinstance(res["figures"], list)
+
+    # ---- confinement: un-recorded directories are refused --------------
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/api/results?output=/etc")
+    assert ei.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/api/figure?path=/etc/hostname")
+    assert ei.value.code == 403

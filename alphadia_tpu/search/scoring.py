@@ -382,7 +382,19 @@ class CandidateScoring:
                 return a
             return _jax.device_put(a)
 
-        batch_dev = {k: _full(k, arrays[k]) for k in _BATCH_KEYS}
+        # chunked-upload path (non-mesh production): upload each batch's
+        # slice separately — jax.device_put is async, so batch N+1's
+        # host->device copy rides the tunnel WHILE batch N computes and
+        # batch N-1's packed download streams back (full-duplex). A single
+        # whole-array upload would serialize ~all upload bytes before the
+        # first dispatch. The device-time bench and the mesh path keep the
+        # staged whole-array layout.
+        chunked = mesh is None and not cfg.bench_device_time
+        if chunked:
+            wire_host = {k: compact_wire(k, arrays[k]) for k in _BATCH_KEYS}
+            batch_dev = None
+        else:
+            batch_dev = {k: _full(k, arrays[k]) for k in _BATCH_KEYS}
 
         if cfg.bench_device_time:
             # stage ALL inputs before starting the clock
@@ -398,6 +410,35 @@ class CandidateScoring:
         for b0, bsz in schedule:
             b1 = min(b0 + bsz, n)
             pad = bsz - (b1 - b0)
+
+            if chunked:
+                def _chunk(key):
+                    a = wire_host[key][b0:b1]
+                    if pad:
+                        a = np.concatenate(
+                            [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                        )
+                    return _jax.device_put(a)
+
+                packed = score_candidates_batch_packed(
+                    dev["peak_mz"], dev["peak_intensity"],
+                    dev["peak_packed"], dev["peak_scanbin"],
+                    dev["cell_start"], dev["cycle_rt"],
+                    _chunk("frag_mz"), _chunk("frag_valid"),
+                    _chunk("frag_intensity"), _chunk("frag_type"),
+                    _chunk("frag_position"), _chunk("iso_mz"),
+                    _chunk("iso_intensity"), _chunk("ms2_slot"),
+                    _chunk("ms1_slot"), _chunk("win_lo"),
+                    _chunk("win_hi"), qs, qd,
+                    _chunk("frame_center"), _chunk("frame_start"),
+                    _chunk("frame_stop"), _chunk("scan_lo"),
+                    _chunk("scan_hi"), _chunk("mobility_width"),
+                    ftol, ptol,
+                    transport_quant=cfg.transport_quant,
+                    **static_kw,
+                )
+                pending.append((bsz - pad, b0, packed))
+                continue
 
             if mesh is None:
                 # single dispatch per batch: slice-on-device inside the jit;

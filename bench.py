@@ -102,12 +102,14 @@ def measure(
     # mass errors f32); CPU keeps f32 (its fastest path)
     cdt = "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
-    # batch caps: the drivers split these into a greedy pow2 schedule
-    # (round-2 sweep with compact uploads: 16384 is the best fixed size
-    # for BOTH phases — scoring 32768 regresses on padded-tail downloads;
-    # the schedule bounds tail padding)
+    # batch caps: the drivers split these into a greedy pow2 schedule.
+    # Round-3 sweep with chunked async uploads (scoring driver): 4096
+    # wins for scoring — batch N+1's upload and batch N-1's download ride
+    # the full-duplex tunnel while batch N computes; one 16384 batch
+    # serializes all upload bytes before the first dispatch. Selection
+    # uploads are tiny (~0.6 MB), so its batch size is insensitive.
     sel_batch = batch_size or 16384
-    score_batch = batch_size or 16384
+    score_batch = batch_size or 4096
 
     def _sel(p, device_time=False):
         return CandidateSelection(

@@ -30,7 +30,7 @@ Set any parameter under its section, e.g.
 search:
   target_ms2_tolerance: 15.0
 tpu:
-  scoring_batch: 16384
+  scoring_batch: 4096
 ```
 """
 

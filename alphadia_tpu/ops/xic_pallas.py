@@ -45,8 +45,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QT = 128  # queries per grid step (output block lane width — must be 128k)
-DEPTH = 16  # rolling DMA prefetch window
+import os
+
+# tunables (env-overridable for perf sweeps; defaults = measured best)
+QT = int(os.environ.get("ALPHADIA_TPU_PALLAS_QT", 128))  # queries per grid step (output block lane width — must be 128k)
+DEPTH = int(os.environ.get("ALPHADIA_TPU_PALLAS_DEPTH", 16))  # rolling DMA prefetch window
 LANE = 128
 FIELDS = 4  # mz, intensity, cycle, scanbin
 F_MZ, F_INT, F_CYC, F_SCAN = range(FIELDS)

@@ -50,6 +50,9 @@ import os
 # tunables (env-overridable for perf sweeps; defaults = measured best)
 QT = int(os.environ.get("ALPHADIA_TPU_PALLAS_QT", 128))  # queries per grid step (output block lane width — must be 128k)
 DEPTH = int(os.environ.get("ALPHADIA_TPU_PALLAS_DEPTH", 16))  # rolling DMA prefetch window
+# fail fast on sweep typos instead of an opaque Mosaic lane-tiling error
+assert QT > 0 and QT % 128 == 0, f"QT must be a positive multiple of 128, got {QT}"
+assert DEPTH >= 1, f"DEPTH must be >= 1, got {DEPTH}"
 LANE = 128
 FIELDS = 4  # mz, intensity, cycle, scanbin
 F_MZ, F_INT, F_CYC, F_SCAN = range(FIELDS)

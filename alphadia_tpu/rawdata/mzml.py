@@ -90,7 +90,11 @@ def _decode_binary(data_elem) -> tuple[str | None, np.ndarray]:
         elif acc in _MOB_ARRAY_ACCS:
             kind = "mobility"
         elif acc in ACC_NUMPRESS:
-            numpress, compressed = ACC_NUMPRESS[acc]
+            # some writers emit a plain numpress accession PLUS a separate
+            # MS:1000574 zlib cvParam (instead of the combined term) — never
+            # clobber an already-seen zlib flag, in either cvParam order
+            numpress, np_zlib = ACC_NUMPRESS[acc]
+            compressed = compressed or np_zlib
     b = data_elem.find(f"{_NS}binary")
     if b is None or not b.text:
         return kind, np.zeros(0, dtype)

@@ -183,10 +183,21 @@ def main() -> None:
     )
     mgr.finetune_rt(psm)
     mgr.finetune_charge(psm)
-    # MS2 on a subset (dense targets are heavy); enough to learn the rules
-    sub = psm.iloc[:12000]
-    mgr.finetune_ms2(sub, frag[frag["precursor_idx"] < 12000])
-    mgr.finetune_ccs(psm.iloc[:12000])
+    # MS2/CCS on a subset (dense targets are heavy) — STRATIFIED across
+    # the worlds (precursor_idx is the concat row order, so a plain
+    # iloc[:12000] would be ~only world 1 and re-open the single-world
+    # memorization hole for these two heads)
+    sub_idx = np.sort(
+        np.random.default_rng(7).choice(len(psm), 12000, replace=False)
+    )
+    sub = psm.iloc[sub_idx]
+    keep = np.zeros(len(psm), bool)
+    keep[sub_idx] = True
+    sub_frag = frag[keep[frag["precursor_idx"].to_numpy()]]
+    per_world = np.histogram(sub_idx, bins=len(TRAIN_WORLD_SEEDS))[0]
+    print(f"MS2/CCS subset per world: {per_world.tolist()}")
+    mgr.finetune_ms2(sub, sub_frag)
+    mgr.finetune_ccs(sub)
 
     # ---- leg 1: within-world held-out sequences ------------------------
     within = _eval_world(mgr, holdout, train_worlds[0], rng, "within-world")

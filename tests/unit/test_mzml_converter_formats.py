@@ -278,12 +278,30 @@ def test_numpress_mzml_decodes(tmp_path):
                         "MS-Numpress short logged float compression", it_cv)
             + "</binaryDataArrayList></spectrum>"
         )
+    # writer variant: a PLAIN numpress accession plus a SEPARATE zlib
+    # cvParam (either order) instead of the combined +zlib term
+    zlib_cv = '<cvParam cvRef="MS" accession="MS:1000574" name="zlib compression"/>'
+    specs.append(
+        '<spectrum index="2" id="scan=3" defaultArrayLength="64">'
+        '<cvParam cvRef="MS" accession="MS:1000511" name="ms level" value="1"/>'
+        '<cvParam cvRef="MS" accession="MS:1000127" name="centroid spectrum"/>'
+        "<scanList count=\"1\"><scan>"
+        '<cvParam cvRef="MS" accession="MS:1000016" name="scan start time" '
+        'value="0.53" unitAccession="UO:0000031" unitName="minute"/>'
+        "</scan></scanList>"
+        '<binaryDataArrayList count="2">'
+        + _np_array(zlib.compress(encode_linear(mz1)), "MS:1002312",
+                    "MS-Numpress linear prediction compression", zlib_cv + mz_cv)
+        + _np_array(zlib.compress(encode_slof(it1)), "MS:1002314",
+                    "MS-Numpress short logged float compression", it_cv + zlib_cv)
+        + "</binaryDataArrayList></spectrum>"
+    )
     doc = _indexed_mzml([]).replace("</spectrumList>", "".join(specs) + "</spectrumList>")
     p = tmp_path / "np.mzML"
     p.write_bytes(doc.encode())
     out = read_mzml(p)
-    assert out.n_spectra == 2
-    for i in range(2):
+    assert out.n_spectra == 3
+    for i in range(3):
         sl = slice(out.peak_start_idx[i], out.peak_stop_idx[i])
         np.testing.assert_allclose(out.mz[sl], mz1, atol=1e-5)
         np.testing.assert_allclose(out.intensity[sl], it1, rtol=5e-4, atol=0.5)

@@ -188,7 +188,7 @@ def main() -> None:
     # iloc[:12000] would be ~only world 1 and re-open the single-world
     # memorization hole for these two heads)
     sub_idx = np.sort(
-        np.random.default_rng(7).choice(len(psm), 12000, replace=False)
+        np.random.default_rng(7).choice(len(psm), 21000, replace=False)
     )
     sub = psm.iloc[sub_idx]
     keep = np.zeros(len(psm), bool)
@@ -208,11 +208,14 @@ def main() -> None:
     # ---- leg 3: published-constants order spot check -------------------
     rho = _krokhin_order_check(mgr, xworld)
 
-    # bars sit just below the measured 2026-08 levels (0.973 / 0.967 /
-    # 0.862 / 0.695 / 0.985) so regressions fail loudly
+    # bars sit just below the measured 2026-08 levels (RT 0.973/0.967,
+    # SA 0.72/0.69, Krokhin 0.985). NOTE: an earlier single-world MS2
+    # corpus scored within-world SA 0.86 — that margin over cross-world
+    # was world memorization, not skill; with the stratified corpus
+    # within ≈ cross is the honest (and expected) signature.
     ok = (
         within["rt_r2"] >= max(within["rt_r2_heuristic"] + 0.1, 0.9)
-        and within["ms2_sa"] >= 0.75
+        and within["ms2_sa"] >= 0.65
         and cross["rt_r2"] >= max(cross["rt_r2_heuristic"] + 0.1, 0.9)
         and cross["ms2_sa"] >= 0.6
         and rho >= 0.9

@@ -43,6 +43,11 @@ class LOESSRegression:
         self.n_kernels = n_kernels
         self.polynomial_degree = polynomial_degree
         self.uniform = uniform
+        # configured complexity: each fit() restores these before the
+        # small-data reduction, so one tiny early batch cannot permanently
+        # degrade later large-data refits of a reused estimator
+        self._cfg_n_kernels = n_kernels
+        self._cfg_polynomial_degree = polynomial_degree
         self.centers: np.ndarray | None = None
         self.halfwidths: np.ndarray | None = None
         self.beta: np.ndarray | None = None
@@ -80,7 +85,13 @@ class LOESSRegression:
         if len(x) < 2:
             raise ValueError("At least two datapoints required for fitting.")
 
-        # reduce complexity for small data (reference behavior)
+        # reduce complexity for small data (reference behavior), starting
+        # from the CONFIGURED complexity each fit
+        # getattr: estimators unpickled from pre-fix checkpoints lack _cfg_*
+        self.n_kernels = getattr(self, "_cfg_n_kernels", self.n_kernels)
+        self.polynomial_degree = getattr(
+            self, "_cfg_polynomial_degree", self.polynomial_degree
+        )
         dof = (1 + self.polynomial_degree) * self.n_kernels
         if len(x) < dof:
             self.n_kernels = max(len(x) // (1 + self.polynomial_degree), 1)

@@ -15,7 +15,6 @@ from alphadia_tpu.fdr.fragcomp import FragmentCompetition
 from alphadia_tpu.fdr.qvalues import get_q_values, keep_best
 from alphadia_tpu.reporting import logger
 
-MIN_PSM_FOR_CLASSIFICATION = 20
 # below this many PSMs the NN is replaced by balanced logistic regression
 MIN_PSM_FOR_NN = 500
 
@@ -63,11 +62,12 @@ def perform_fdr(
     # q-values stay honest regardless of how few decoys there are (a search
     # so clean that decoys yield no candidates has a low FDR estimate, not
     # an unknowable one).
-    too_small = len(X) < max(MIN_PSM_FOR_CLASSIFICATION, MIN_PSM_FOR_NN)
+    too_small = len(X) < MIN_PSM_FOR_NN
     too_few_decoys = n_d < max(50, 0.02 * n_t)
     if n_t == 0:
         psm_df["qval"] = 1.0
         psm_df["proba"] = 1.0
+        psm_df.attrs["fdr_estimator"] = "no_target"
         return psm_df
     if (too_small or too_few_decoys) and n_d >= 1:
         logger.warning(
@@ -101,7 +101,6 @@ def perform_fdr(
 
         psm_df["proba"] = classifier.predict_proba(X)[:, 1]
         estimator = "nn"
-    psm_df.sort_values(["proba", "precursor_idx"], ascending=True, inplace=True)
     psm_df = get_q_values(psm_df, "proba", "_decoy")
 
     group_columns = (

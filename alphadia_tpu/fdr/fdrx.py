@@ -19,6 +19,10 @@ from alphadia_tpu.fdr.qvalues import fdr_to_q_values, keep_best
 from alphadia_tpu.reporting import logger
 
 
+# NOTE: deliberately NOT unified with qvalues.get_q_values — this function
+# mirrors the reference's _fdrx/stats.py semantics exactly (denominator
+# `target_cumsum + 1e-6` vs the legacy path's `max(cumsum, 1)`, its sort
+# tie-break, r_target_decoy scaling) and is pinned by tests/parity.
 def add_q_values(
     df: pd.DataFrame,
     decoy_proba_column: str = "decoy_proba",
@@ -126,7 +130,15 @@ class TargetDecoyFDR:
             float((psm_df[self._decoy_column] == 0).sum()) / n_d if n_d else 1.0
         )
 
-        if dia_cycle is not None and fragments_df is not None and len(fragments_df):
+        if (
+            dia_cycle is not None
+            and fragments_df is not None
+            and len(fragments_df)
+            # same no-mobility gate as fdr/fdr.py: window assignment reads
+            # scan 0 of the cycle, which is wrong for timsTOF scan-varying
+            # isolation schemes
+            and dia_cycle.shape[2] <= 2
+        ):
             from alphadia_tpu.fdr.fragcomp import FragmentCompetition
 
             psm_df = add_q_values(
@@ -138,7 +150,14 @@ class TargetDecoyFDR:
             # full (uncompeted) table instead of discarding every PSM
             # (mirrors the guard in fdr/fdr.py)
             if len(passing):
-                psm_df = FragmentCompetition()(passing, fragments_df, dia_cycle)
+                # FragmentCompetition ranks by the canonical 'proba'
+                # column (the reference's own fdrx+fragcomp combination
+                # crashes here — its fragcomp also sorts by 'proba',
+                # which fdrx never creates)
+                passing = passing.assign(proba=passing["decoy_proba"])
+                psm_df = FragmentCompetition()(
+                    passing, fragments_df, dia_cycle
+                ).drop(columns=["proba"])
 
         if self._competition_columns:
             psm_df = keep_best(

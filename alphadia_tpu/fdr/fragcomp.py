@@ -25,9 +25,7 @@ from alphadia_tpu.utils.misc import candidate_hash
 
 
 class FragmentCompetition:
-    def __init__(
-        self, rt_tol_seconds: float = 3.0, mass_tol_ppm: float = 15.0, thread_count: int = 8
-    ):
+    def __init__(self, rt_tol_seconds: float = 3.0, mass_tol_ppm: float = 15.0):
         self.rt_tol_seconds = rt_tol_seconds
         self.mass_tol_ppm = mass_tol_ppm
 
@@ -43,7 +41,12 @@ class FragmentCompetition:
         mz = psm_df[col].to_numpy()[:, None]
         inside = (mz >= lower[None, :]) & (mz < upper[None, :]) & (lower[None, :] >= 0)
         psm_df = psm_df.copy()
-        psm_df["window_idx"] = np.argmax(inside, axis=1)
+        # PSMs landing in NO window (m/z outside every isolation range,
+        # e.g. after a calibration shift) must not compete — argmax over
+        # an all-False row would wrongly bucket them into window 0
+        widx = np.argmax(inside, axis=1)
+        widx[~inside.any(axis=1)] = -1
+        psm_df["window_idx"] = widx
         return psm_df
 
     # ------------------------------------------------------------------
@@ -80,6 +83,8 @@ class FragmentCompetition:
         valid = np.ones(len(psm_df), dtype=bool)
 
         for w in np.unique(win):
+            if w < 0:  # outside every isolation window: nothing to share
+                continue
             idx = np.nonzero(win == w)[0]
             self._compete_window(idx, rt, hashes, slice_of, frag_mz_sorted, valid)
 
@@ -91,8 +96,15 @@ class FragmentCompetition:
 
     # ------------------------------------------------------------------
     def _compete_window(self, idx, rt, hashes, slice_of, frag_mz, valid):
-        """idx is proba-ascending within the window (best first)."""
+        """idx is proba-ascending within the window (best first).
+
+        The inner scan is bounded to the RT-sorted ±rt_tol neighborhood
+        (near-linear for real RT spreads instead of all O(n²) pairs)."""
         n = len(idx)
+        rt_w = rt[idx]
+        rt_order = np.argsort(rt_w, kind="stable")  # proba rank by RT
+        rt_sorted = rt_w[rt_order]
+        rt_pos = np.argsort(rt_order, kind="stable")  # proba rank -> RT pos
         for a in range(n):
             i = idx[a]
             if not valid[i]:
@@ -101,11 +113,16 @@ class FragmentCompetition:
             if si is None:
                 continue
             mz_i = frag_mz[si[0] : si[1]]
-            for b in range(a + 1, n):
+            p = rt_pos[a]
+            # strict |Δrt| < tol, matching the pairwise formulation
+            lo = np.searchsorted(rt_sorted, rt_sorted[p] - self.rt_tol_seconds, "right")
+            hi = np.searchsorted(rt_sorted, rt_sorted[p] + self.rt_tol_seconds, "left")
+            for q in range(lo, hi):
+                b = rt_order[q]
+                if b <= a:  # only worse-ranked PSMs can be invalidated
+                    continue
                 j = idx[b]
                 if not valid[j]:
-                    continue
-                if abs(rt[i] - rt[j]) >= self.rt_tol_seconds:
                     continue
                 sj = slice_of.get(hashes[j])
                 if sj is None:

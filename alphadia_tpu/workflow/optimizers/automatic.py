@@ -125,7 +125,18 @@ class AutomaticOptimizer(BaseOptimizer):
         est = self._calibration_manager.get_estimator(
             self._estimator_group_name, self._estimator_name
         )
-        return self.update_factor * est.ci(df, self.update_percentile_range)
+        proposal = self.update_factor * est.ci(df, self.update_percentile_range)
+        if proposal <= 0:
+            # est.ci() returns 0 when the calibration fit failed (the fit
+            # exception is swallowed and is_fitted stays False) — a zero
+            # tolerance would silently find nothing on the next pass
+            current = getattr(self._optimization_manager, self.parameter_name)
+            logger.warning(
+                f"{self.parameter_name}: calibration yielded no usable CI; "
+                f"keeping current tolerance {current:.4f}"
+            )
+            return float(current)
+        return proposal
 
     def _update_history(self, precursors_df, fragments_df) -> None:
         row = pd.DataFrame(

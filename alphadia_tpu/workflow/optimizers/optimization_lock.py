@@ -4,8 +4,11 @@
 elution groups shuffled with fixed seed 772; batch plan doubles
 (1, 2, 4, ... x batch_size) over consecutive ranges; features accumulate
 across batches until `optimization_lock_target` precursors pass 1% FDR;
-once reached, the lock re-extracts cumulatively from index 0 and after
-convergence resets to the whole library.)
+once reached, the lock re-extracts cumulatively from index 0; after
+convergence `reset_after_convergence` keeps that cumulative [0, stop_idx)
+slice — NOT the whole library — exactly like the reference's
+`start_idx`/`stop_idx` properties. The full library is only searched in
+the final extraction pass.)
 """
 
 from __future__ import annotations

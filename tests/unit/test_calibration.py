@@ -81,3 +81,17 @@ def test_estimator_unfitted_predict():
     df = pd.DataFrame({"a": [1.0], "b": [1.0]})
     assert est.predict(df) is None
     assert est.ci(df) == 0.0
+
+
+def test_loess_refit_restores_configured_complexity(rng):
+    """A tiny early fit must not permanently degrade later large refits
+    (the CalibrationManager reuses one estimator across recalibrations)."""
+    m = LOESSRegression(n_kernels=6, polynomial_degree=1)
+    m.fit(np.array([0.0, 1.0, 2.0, 3.0]), np.array([0.0, 1.0, 2.0, 3.0]))
+    assert m.n_kernels < 6  # small-data reduction applied
+    x = np.linspace(0, 100, 5000)
+    y = np.sin(x / 15.0) * 5 + 0.05 * x
+    m.fit(x, y)
+    assert m.n_kernels == 6 and m.polynomial_degree == 1
+    pred = m.predict(x)
+    assert np.abs(pred - y).mean() < 0.5

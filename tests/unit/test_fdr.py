@@ -152,3 +152,85 @@ def test_fragment_competition():
     frag = pd.DataFrame(frag_rows)
     out = FragmentCompetition()(psm, frag, cycle)
     assert set(out["precursor_idx"]) == {1, 3}
+
+
+def test_fragment_competition_ignores_windowless_psms():
+    """A PSM whose m/z matches NO isolation window must not compete
+    (argmax over all-False previously bucketed it into window 0)."""
+    cycle = np.zeros((1, 2, 1, 2))
+    cycle[0, 0, 0] = [400, 500]
+    cycle[0, 1, 0] = [500, 600]
+    shared = [200.0, 300.0, 400.0, 500.0]
+    psm = pd.DataFrame(
+        {
+            "precursor_idx": [1, 2],
+            "rank": [0, 0],
+            "proba": [0.1, 0.5],
+            "rt_observed": [100.0, 100.2],
+            # 450 lands in window 0; 9999 matches no window at all
+            "mz_library": [450.0, 9999.0],
+        }
+    )
+    frag = pd.DataFrame(
+        [{"precursor_idx": p, "rank": 0, "mz": m} for p in (1, 2) for m in shared]
+    )
+    out = FragmentCompetition()(psm, frag, cycle)
+    # without the fix PSM 2 lands in window 0 and is killed by PSM 1
+    assert set(out["precursor_idx"]) == {1, 2}
+
+
+def test_fragment_competition_rt_neighborhood_equivalence():
+    """The RT-sorted bounded inner loop must match the brute-force pairwise
+    semantics on randomized data."""
+    rng = np.random.default_rng(11)
+    n = 120
+    cycle = np.zeros((1, 2, 1, 2))
+    cycle[0, 0, 0] = [400, 500]
+    cycle[0, 1, 0] = [500, 600]
+    psm = pd.DataFrame(
+        {
+            "precursor_idx": np.arange(n),
+            "rank": 0,
+            "proba": rng.uniform(0, 1, n),
+            "rt_observed": rng.uniform(0, 40, n),  # dense: many neighbors
+            "mz_library": rng.choice([450.0, 550.0], n),
+        }
+    )
+    # fragments drawn from a tiny pool so overlaps are common
+    pool = np.array([210.0, 220.0, 230.0, 240.0, 250.0, 260.0])
+    frag = pd.DataFrame(
+        {
+            "precursor_idx": np.repeat(np.arange(n), 4),
+            "rank": 0,
+            "mz": rng.choice(pool, n * 4),
+        }
+    )
+    out = FragmentCompetition(rt_tol_seconds=3.0)(psm, frag, cycle)
+
+    # brute force oracle with the original O(n^2) semantics
+    def brute(psm, frag):
+        df = psm.copy()
+        lower, upper = cycle[0, :, 0, 0], cycle[0, :, 0, 1]
+        mz = df["mz_library"].to_numpy()[:, None]
+        inside = (mz >= lower[None, :]) & (mz < upper[None, :])
+        df["w"] = np.argmax(inside, axis=1)
+        df = df.sort_values(["w", "proba", "precursor_idx"], kind="stable")
+        fr = {p: g["mz"].to_numpy() for p, g in frag.groupby("precursor_idx")}
+        rt = df["rt_observed"].to_numpy()
+        pid = df["precursor_idx"].to_numpy()
+        w = df["w"].to_numpy()
+        valid = np.ones(len(df), bool)
+        for a in range(len(df)):
+            if not valid[a]:
+                continue
+            for b in range(a + 1, len(df)):
+                if w[a] != w[b] or not valid[b]:
+                    continue
+                if abs(rt[a] - rt[b]) >= 3.0:
+                    continue
+                d = np.abs(fr[pid[a]][:, None] - fr[pid[b]][None, :]) / fr[pid[a]][:, None] * 1e6
+                if (d < 15.0).sum() >= 3:
+                    valid[b] = False
+        return set(pid[valid])
+
+    assert set(out["precursor_idx"]) == brute(psm, frag)

@@ -87,3 +87,54 @@ def test_get_pep_monotone_profile():
     pep = get_pep(df)
     assert pep[df.decoy == 1].mean() > 0.8
     assert pep[df.decoy == 0].mean() < 0.2
+
+
+def test_predict_qval_with_fragment_competition():
+    """fdrx + fragment competition end to end (this path crashed with
+    KeyError 'proba' before round 3 — fdrx names its score column
+    'decoy_proba' while FragmentCompetition ranks by 'proba')."""
+    df = _psm(n=200, seed=3)
+    df["rank"] = 0
+    df["rt_observed"] = np.linspace(100, 400, len(df))
+    df["mz_library"] = np.where(df["precursor_idx"] % 2 == 0, 450.0, 550.0)
+    frag = pd.DataFrame(
+        {
+            "precursor_idx": np.repeat(df["precursor_idx"].to_numpy(), 4),
+            "rank": 0,
+            "mz": np.tile([200.0, 300.0, 400.0, 500.0], len(df))
+            + np.repeat(df["precursor_idx"].to_numpy(), 4) * 1e-3,
+        }
+    )
+    cycle = np.zeros((1, 3, 1, 2))
+    cycle[0, 0, 0] = [-1, -1]
+    cycle[0, 1, 0] = [400, 500]
+    cycle[0, 2, 0] = [500, 600]
+    tdf = TargetDecoyFDR(
+        LogisticRegression(max_iter=200), ["f1", "f2"],
+        competition_columns=["elution_group_idx"],
+    )
+    out = tdf.fit_predict_qval(df, fragments_df=frag, cycle=cycle)
+    assert "qval" in out.columns and "pep" in out.columns
+    assert out["qval"].between(0, 1).all()
+    assert "proba" not in out.columns  # alias never leaks into the output
+
+
+def test_predict_qval_skips_competition_on_mobility_data():
+    """timsTOF-like cycles (scan-varying isolation) must skip fragment
+    competition — window assignment only reads scan 0 (same gate as
+    fdr/fdr.py)."""
+    df = _psm(n=100, seed=4)
+    df["rank"] = 0
+    df["rt_observed"] = np.linspace(100, 200, len(df))
+    df["mz_library"] = 450.0
+    frag = pd.DataFrame(
+        {"precursor_idx": df["precursor_idx"], "rank": 0, "mz": 300.0}
+    )
+    cycle = np.zeros((1, 2, 8, 2))  # 8 scan entries = mobility scheme
+    tdf = TargetDecoyFDR(
+        LogisticRegression(max_iter=200), ["f1", "f2"],
+        competition_columns=["elution_group_idx"],
+    )
+    out = tdf.fit_predict_qval(df, fragments_df=frag, cycle=cycle)
+    # nothing was competed away: every elution group still represented
+    assert out["elution_group_idx"].nunique() == df["elution_group_idx"].nunique()

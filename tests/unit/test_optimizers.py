@@ -252,3 +252,17 @@ def test_try_narrower_convergence_on_feature_drop():
     assert opt.has_converged
     # optimum = the 15.0 row (feature 210), not the collapsed last row
     assert om.ms2_error == 15.0
+
+
+def test_zero_ci_keeps_current_tolerance():
+    """When the calibration fit failed (unfitted estimator -> ci()=0),
+    the proposal must keep the current tolerance instead of writing a
+    zero search window."""
+    cfg = load_default_config()
+    om = OptimizationManager(cfg, gradient_length=1000.0)
+    om.update(ms2_error=30.0)
+    opt = AutomaticMS2Optimizer(
+        30.0, cfg, om, _FakeCalibration(0.0), _FakeFdr(), _FakeLock()
+    )
+    proposal = opt._propose_new_parameter(pd.DataFrame({"x": [1.0]}))
+    assert proposal == pytest.approx(30.0)

@@ -206,6 +206,14 @@ class DecoyGenerator(ProcessingStep):
         )
         types = tuple(sorted({c.split("_z")[0] for c in lib.charged_frag_types})) or ("b", "y")
         decoy.calc_fragment_mz(max_charge=max_charge, types=types)
+        # calc_fragment_mz emits the full types x charge product; restrict
+        # to the library's actual column set (e.g. [b_z1, y_z1, y_z2]) so
+        # append never widens the mz frame past the intensity frame
+        want = list(lib.charged_frag_types)
+        if want and list(decoy.fragment_mz_df.columns) != want:
+            decoy.fragment_mz_df = decoy.fragment_mz_df.reindex(
+                columns=want, fill_value=0.0
+            )
 
         lib.append(decoy)
         lib.precursor_df = (

@@ -75,18 +75,24 @@ def _variable_mod_combos(
     is_protein_nterm: bool,
     var_mods: list[tuple[str, str]],
     max_var: int,
+    fixed_sites: frozenset[int] = frozenset(),
 ) -> list[tuple[str, str]]:
-    """Enumerate (mods, mod_sites) strings for up to max_var variable mods."""
+    """Enumerate (mods, mod_sites) strings for up to max_var variable mods.
+
+    ``fixed_sites``: sites already occupied by a fixed modification —
+    variable candidates there are skipped (a fixed N-term label and a
+    variable N-term acetyl cannot chemically co-occur on residue 1)."""
     candidates: list[tuple[str, int]] = []  # (full mod name, site int)
     for mod, site_spec in var_mods:
         if site_spec == "Protein_N-term":
-            if is_protein_nterm:
+            if is_protein_nterm and 0 not in fixed_sites:
                 candidates.append((f"{mod}@Protein_N-term", 0))
         elif site_spec == "Any_N-term":
-            candidates.append((f"{mod}@Any_N-term", 0))
+            if 0 not in fixed_sites:
+                candidates.append((f"{mod}@Any_N-term", 0))
         else:
             for i, aa in enumerate(sequence):
-                if aa == site_spec:
+                if aa == site_spec and (i + 1) not in fixed_sites:
                     candidates.append((f"{mod}@{site_spec}", i + 1))
     combos = [("", "")]
     for k in range(1, max_var + 1):
@@ -163,7 +169,12 @@ def digest_fasta(
     rows = []
     for pep, (prots, genes, is_nterm) in pep_map.items():
         fixed_applied = _apply_fixed_mods(pep, fixed)
-        for mods, sites in _variable_mod_combos(pep, is_nterm, variable, max_var_mod_num):
+        fixed_sites = frozenset(
+            int(s) for s in fixed_applied[1].split(";") if s != ""
+        )
+        for mods, sites in _variable_mod_combos(
+            pep, is_nterm, variable, max_var_mod_num, fixed_sites
+        ):
             all_mods, all_sites = _merge_mods(fixed_applied, (mods, sites))
             mass = chem.residue_masses(pep, all_mods, all_sites).sum() + chem.MASS_H2O
             for z in range(precursor_charge[0], precursor_charge[1] + 1):

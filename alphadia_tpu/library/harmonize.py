@@ -141,4 +141,10 @@ class RTNormalization(ProcessingStep):
         else:
             norm = np.clip((rt - lo) / (hi - lo), 0.0, 1.0)
         df["rt_norm"] = norm
+        # also overwrite the SOURCE column (the reference clips `rt` in
+        # place, harmonize.py:237-240): InitFlatColumns prefers
+        # rt_library/rt over rt_norm, so leaving the raw column would let
+        # a single outlier iRT dominate the later min-max gradient mapping
+        if col != "rt_norm":
+            df[col] = norm
         return lib

@@ -23,6 +23,11 @@ def build_stat_df(
     channels = (
         sorted(run_psm_df["channel"].unique()) if "channel" in run_psm_df else [0]
     )
+    # a run whose PSMs were all filtered away still gets a zero row —
+    # multistep plans read per-run stat rows and must see every run
+    # (reference df_builders.py:58-69 emits rows unconditionally)
+    if not channels:
+        channels = [0]
     for channel in channels:
         sub = (
             run_psm_df[run_psm_df["channel"] == channel]

@@ -75,14 +75,25 @@ def filter_frag_df(
     min_correlation: float = 0.5,
     top_n: int = 3,
     group_column: str = "precursor_idx",
-) -> tuple[pd.DataFrame, pd.DataFrame]:
+    group_keys: pd.Series | np.ndarray | None = None,
+) -> tuple[pd.DataFrame, pd.DataFrame, np.ndarray]:
     """Keep ions in the top-n by mean correlation within their group, OR
-    above min_correlation (reference quant_builder.py:132-183)."""
+    above min_correlation (reference quant_builder.py:132-183).
+
+    ``group_keys`` overrides ``group_column`` with an externally supplied
+    per-row grouping (the reference filters per QUANT LEVEL —
+    precursor/peptide/protein group — quant_output_builder.py:243-249).
+    Returns (intensity, correlation, keep_mask)."""
     run_cols = [c for c in corr_df.columns if c not in ("ion", group_column, "precursor_idx")]
     mean_corr = corr_df[run_cols].mean(axis=1, skipna=True)
-    rank = mean_corr.groupby(corr_df[group_column]).rank(ascending=False, method="first")
-    mask = (rank <= top_n) | (mean_corr > min_correlation)
-    return intensity_df[mask.to_numpy()], corr_df[mask.to_numpy()]
+    groups = (
+        pd.Series(np.asarray(group_keys), index=corr_df.index)
+        if group_keys is not None
+        else corr_df[group_column]
+    )
+    rank = mean_corr.groupby(groups).rank(ascending=False, method="first")
+    mask = ((rank <= top_n) | (mean_corr > min_correlation)).to_numpy()
+    return intensity_df[mask], corr_df[mask], mask
 
 
 # ----------------------------------------------------------------------

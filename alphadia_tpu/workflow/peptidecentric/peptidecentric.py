@@ -159,11 +159,11 @@ class PeptideCentricWorkflow(WorkflowBase):
         )
 
         fdr_cutoff = self.config["fdr"]["fdr"]
-        keep_decoys = self.config["fdr"]["keep_decoys"]
-        mask = psm_df["qval"] <= fdr_cutoff
-        if not keep_decoys:
-            mask &= psm_df["decoy"] == 0
-        psm_df = psm_df[mask].reset_index(drop=True)
+        # qval filter ONLY — decoy PSMs at <=fdr survive into psm.parquet
+        # (reference peptidecentric.py:227-229): the cross-run protein FDR
+        # needs them as its null; fdr.keep_decoys is applied AFTER protein
+        # FDR in outputs/search_plan_output.py, like the reference
+        psm_df = psm_df[psm_df["qval"] <= fdr_cutoff].reset_index(drop=True)
 
         # filter fragments to surviving candidates
         keep_hashes = set(

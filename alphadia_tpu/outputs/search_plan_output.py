@@ -240,21 +240,20 @@ class SearchPlanOutput:
         method = self.config["search_output"].get("normalization_method", "directlfq")
         columns = QUANTSELECT_FEATURES if method == "quantselect" else DEFAULT_FEATURES
         feature_dfs = accumulate_frag_df(run_frames, columns=columns)
-        intensity_df, corr_df = filter_frag_df(
-            feature_dfs["intensity"],
-            feature_dfs["correlation"],
-            min_correlation=self.config["search_output"]["min_correlation"],
-            top_n=self.config["search_output"]["min_k_fragments"],
-        )
-        # keep all feature matrices aligned with the filtered ion rows
-        keep_mask = feature_dfs["intensity"]["ion"].isin(intensity_df["ion"]).to_numpy()
-        feature_dfs = {k: v[keep_mask] for k, v in feature_dfs.items()}
         run_cols = list(run_frames.keys())
+        min_correlation = self.config["search_output"]["min_correlation"]
+        top_n = self.config["search_output"]["min_k_fragments"]
 
         if self.config["search_output"]["save_fragment_quant_matrix"]:
-            # the filtered ion x runs matrix LFQ consumes (reference:
+            # the per-precursor-filtered ion x runs matrix (reference:
             # QuantBuilder's fragment-level output)
-            self._write_matrix(intensity_df, "fragment.matrix", "fragment")
+            frag_intensity_df, _, _ = filter_frag_df(
+                feature_dfs["intensity"],
+                feature_dfs["correlation"],
+                min_correlation=min_correlation,
+                top_n=top_n,
+            )
+            self._write_matrix(frag_intensity_df, "fragment.matrix", "fragment")
 
         # map precursor_idx -> group keys from the psm table
         key_maps = {}
@@ -280,10 +279,15 @@ class SearchPlanOutput:
         for level in levels:
             if level not in key_maps:
                 continue
-            keys = key_maps[level].reindex(intensity_df["precursor_idx"]).to_numpy()
+            keys = key_maps[level].reindex(
+                feature_dfs["intensity"]["precursor_idx"]
+            ).to_numpy()
             valid = pd.notna(keys)
             eff_min_nonnan = min_nonnan if len(run_cols) >= min_nonnan else 1
             if method == "quantselect":
+                # quantselect weighs ions by quality itself; no hard filter
+                # (reference quant_output_builder.py:264-270 filters only on
+                # the directlfq branch)
                 lfq = quantselect_lfq(
                     {k: v[valid] for k, v in feature_dfs.items()},
                     pd.Series(keys[valid]),
@@ -291,9 +295,25 @@ class SearchPlanOutput:
                     min_nonnan=eff_min_nonnan,
                 )
             else:
+                # per-quant-level ion filtering: top-n by mean correlation
+                # within the LEVEL group (reference
+                # quant_output_builder.py:243-249 passes
+                # group_column=lfq_config.quant_level)
+                level_intensity_df, _, _keep = filter_frag_df(
+                    feature_dfs["intensity"][valid],
+                    feature_dfs["correlation"][valid],
+                    min_correlation=min_correlation,
+                    top_n=top_n,
+                    group_keys=keys[valid],
+                )
+                if len(level_intensity_df) == 0:
+                    logger.warning(
+                        f"no fragments survived filtering at the {level} level; skipping"
+                    )
+                    continue
                 lfq = direct_lfq(
-                    intensity_df[valid],
-                    pd.Series(keys[valid]),
+                    level_intensity_df,
+                    pd.Series(keys[valid][_keep]),
                     run_cols,
                     normalize=normalize,
                     min_nonnan=eff_min_nonnan,

@@ -216,28 +216,60 @@ def _roofline(n_candidates: int, scoring_seconds: float) -> dict:
     }
 
 
-def _wait_for_backend(attempts: int = 5, delay_s: float = 120.0) -> None:
+def _backend_available(attempts: int = 3, probe_timeout_s: float = 60.0,
+                       delay_s: float = 20.0) -> bool:
     """The remote-TPU tunnel can be transiently unavailable (observed:
     multi-hour outages where backend init hangs or raises UNAVAILABLE).
-    Retry with a bounded backoff in a subprocess so a hung init cannot
-    wedge the benchmark itself; fall through after the last attempt and
-    let the real error surface."""
+    Probe in a subprocess so a hung init cannot wedge the benchmark, with
+    a TOTAL budget (<=3x60s + 2x20s ~ 220 s) far under any driver timeout:
+    round 3 lost its entire perf capture to a 5x(300+120)s retry policy
+    that ate the capture window and emitted nothing parseable."""
     probe = "import jax; jax.devices()"
     for i in range(attempts):
         try:
             proc = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=300
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=probe_timeout_s,
             )
             if proc.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         print(
-            f"# backend unavailable (attempt {i + 1}/{attempts}); retrying",
+            f"# backend unavailable (attempt {i + 1}/{attempts})",
             file=sys.stderr,
         )
-        if i < attempts - 1:  # no pointless sleep on the terminal path
+        if i < attempts - 1:
             time.sleep(delay_s)
+    return False
+
+
+def _cpu_baseline_rate(timeout_s: float = 3600.0) -> float | None:
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line).get("cpu_rate")
+    except Exception:
+        pass
+    return None
+
+
+def _emit_failure(error: str, cpu_rate: float | None) -> None:
+    """Terminal-failure path: ALWAYS print one parseable JSON line so a
+    backend outage can never again leave a round with no recorded number."""
+    print(json.dumps({
+        "metric": "precursors_scored_per_s",
+        "value": None,
+        "unit": "prec/s",
+        "vs_baseline": None,
+        "error": error,
+        "cpu_rate": round(cpu_rate, 1) if cpu_rate else None,
+    }))
 
 
 def _measure_large():
@@ -302,23 +334,17 @@ def main() -> None:
         print(json.dumps({"cpu_rate": rate}))
         return
 
-    _wait_for_backend()
-    rate, phases, device = measure()
+    if not _backend_available():
+        _emit_failure("backend unavailable", _cpu_baseline_rate())
+        return
 
-    baseline_rate = None
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        for line in proc.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                baseline_rate = json.loads(line).get("cpu_rate")
-    except Exception:
-        pass
+        rate, phases, device = measure()
+    except Exception as exc:
+        _emit_failure(f"{type(exc).__name__}: {exc}", _cpu_baseline_rate())
+        return
+
+    baseline_rate = _cpu_baseline_rate()
 
     large = None
     if "--skip-large" not in sys.argv:

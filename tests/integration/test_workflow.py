@@ -89,10 +89,14 @@ def test_full_workflow_synthetic(synthetic_run):
 
     assert len(psm_df) > 0
     assert (psm_df["qval"] <= 0.01).all()
-    assert (psm_df["decoy"] == 0).all()
+    # decoys now pass through extraction when qval <= fdr (reference
+    # peptidecentric.py:227-229 — protein FDR needs them as its null);
+    # targets must still dominate at 1% FDR
+    targets = psm_df[psm_df["decoy"] == 0]
+    assert len(targets) / len(psm_df) >= 0.95
 
     truth = prec.set_index("precursor_idx")["_truth_detectable"]
-    hit_truth = truth.loc[psm_df["precursor_idx"]].to_numpy()
+    hit_truth = truth.loc[targets["precursor_idx"]].to_numpy()
     # identified PSMs should overwhelmingly be planted peptides
     assert hit_truth.mean() > 0.93, f"precision {hit_truth.mean()}"
     # and we should find a decent share of them

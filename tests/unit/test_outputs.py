@@ -97,9 +97,20 @@ def test_lfq_pipeline():
     feats = accumulate_frag_df(runs)
     inten, corr = feats["intensity"], feats["correlation"]
     assert inten.shape[0] == n_prec * 5
-    inten_f, corr_f = filter_frag_df(inten, corr, min_correlation=0.99, top_n=3)
+    inten_f, corr_f, keep = filter_frag_df(inten, corr, min_correlation=0.99, top_n=3)
     counts = inten_f.groupby("precursor_idx").size()
     assert (counts >= 3).all()
+    assert keep.dtype == bool and keep.sum() == len(inten_f)
+    assert (inten[keep]["ion"].to_numpy() == inten_f["ion"].to_numpy()).all()
+
+    # per-quant-level grouping: with an external group_keys column every
+    # row with corr > threshold or top-n within ITS group survives
+    group_keys = (inten["precursor_idx"] % 4).to_numpy()
+    inten_g, _, keep_g = filter_frag_df(
+        inten, corr, min_correlation=0.99, top_n=2, group_keys=group_keys
+    )
+    per_group = pd.Series(group_keys[keep_g]).value_counts()
+    assert (per_group >= 2).all()
 
     lfq = direct_lfq(
         inten,
@@ -122,3 +133,35 @@ def test_ion_hash_unique():
     h2 = ion_hash([1], [2], [121], [1], [0])
     h3 = ion_hash([1], [3], [98], [1], [0])
     assert len({int(h1[0]), int(h2[0]), int(h3[0])}) == 3
+
+
+def test_build_stat_df_zero_rows():
+    """A run whose PSMs were all filtered away must still emit one stat row
+    (reference df_builders.py:58-69 emits rows unconditionally) — multistep
+    tolerance forwarding reads per-run rows and must see every run."""
+    from alphadia_tpu.outputs.df_builders import build_stat_df
+
+    empty = pd.DataFrame(
+        {"channel": pd.Series([], dtype="int64"), "pg": pd.Series([], dtype=object)}
+    )
+    stat = build_stat_df(
+        "empty_run",
+        empty,
+        optimization_state={"ms1_error": 5.0, "ms2_error": 10.0},
+        calibration_metrics={"ms2_median_accuracy": 1.5},
+    )
+    assert len(stat) == 1
+    row = stat.iloc[0]
+    assert row["run"] == "empty_run"
+    assert row["precursors"] == 0
+    assert row["proteins"] == 0
+    assert row["optimization.ms2_error"] == 10.0
+    assert row["calibration.ms2_median_accuracy"] == 1.5
+
+    # and a normal run still produces per-channel rows
+    psm = pd.DataFrame(
+        {"channel": [0, 0, 4], "pg": ["A", "B", "A"], "cycle_fwhm": [2.0, 3.0, 4.0]}
+    )
+    stat2 = build_stat_df("run", psm)
+    assert list(stat2["channel"]) == [0, 4]
+    assert list(stat2["precursors"]) == [2, 1]

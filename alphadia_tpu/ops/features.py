@@ -122,18 +122,35 @@ def weighted_center_of_mass(profile, mask):
     return com, total
 
 
-def weighted_center_mean(values, center, mask):
-    """exp(-0.1 * |frame - center|)-weighted mean of nonzero values.
+def weighted_center_mean(values, center, mask, scan_dist_sq=(0.25, 0.25), nonzero=None):
+    """exp(-0.1 * distance)-weighted mean of nonzero values.
 
     values: [..., W], center: [...] (broadcast), mask: [..., W].
-    (reference weighted_center_mean, scan dim collapsed — distance is the
-    frame distance for data without ion mobility)
+
+    Matches the reference's weighted_center_mean
+    (features/features_utils.py:10-25) on 3D data exactly: the dense
+    tensors there carry a dummy 2-row scan dim with identical values, so
+    each nonzero frame contributes two terms whose distances are
+    sqrt(s0 + df^2) and sqrt(s1 + df^2) with (s0, s1) = the squared scan
+    offsets of rows {0, 1} from the scan center.  Call sites pass
+    - fragments: scan center-of-mass = 0.5 -> (0.25, 0.25)
+    - precursors: scan "center" = dense.shape[3] = 2 (a tile(shape)
+      artifact in precursor_features, precursor_features.py:52-67) ->
+      (4.0, 1.0), and the frame center = shape[2] = 1 relative to the
+      candidate window START, which the caller converts to buffer coords.
+
+    ``nonzero`` overrides the presence test (default ``values > 0``) —
+    required when ``values`` is a signed m/z-delta plane whose presence is
+    defined by the intensity plane.
     """
     W = values.shape[-1]
     frames = jnp.arange(W, dtype=values.dtype)
-    nz = (values > 0) & mask
-    dist = jnp.abs(frames - center[..., None])
-    w = jnp.where(nz, jnp.exp(-0.1 * dist), 0.0)
+    nz = ((values > 0) if nonzero is None else nonzero) & mask
+    dsq = jnp.square(frames - center[..., None])
+    w = jnp.exp(-0.1 * jnp.sqrt(scan_dist_sq[0] + dsq)) + jnp.exp(
+        -0.1 * jnp.sqrt(scan_dist_sq[1] + dsq)
+    )
+    w = jnp.where(nz, w, 0.0)
     wsum = w.sum(axis=-1)
     return jnp.where(wsum > 0, (values * w).sum(axis=-1) / jnp.maximum(wsum, 1e-12), 0.0)
 

@@ -171,6 +171,7 @@ def score_candidates_batch(
         slab=slab,
         window_len=W,
         with_mz=True,
+        mz_as_delta=True,
     )
 
     # ---- dense fragments [B, KF, O2, W] -------------------------------
@@ -181,37 +182,46 @@ def score_candidates_batch(
         if use_pallas
         else (lambda *a, **k: extract_xic(peak_mz, peak_intensity, *a, **k))
     )
-    d_frag_int, d_frag_mz = _xic(
+    d_frag_int, d_frag_dmz = _xic(
         cell_start,
         fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
         fragment_tol_ppm, cycle_start, **xic_kw,
     )
     d_frag_int = d_frag_int.reshape(B, KF, O2, W) * wmask[:, None, None, :]
-    d_frag_mz = d_frag_mz.reshape(B, KF, O2, W) * wmask[:, None, None, :]
+    d_frag_dmz = d_frag_dmz.reshape(B, KF, O2, W) * wmask[:, None, None, :]
+    # presence of the m/z plane is defined PRE-transmission-mask (the
+    # reference multiplies only dense[0] by qtf_mask)
+    frag_present = d_frag_int > 0  # [B, KF, O2, W]
 
     # bf16 compute path (tpu.compute_dtype): the dense intensity chains —
     # profiles, correlations, areas — run at half the HBM traffic; all m/z
-    # and mass-error math stays f32 (d_frag_mz / d_prec_mz below).
+    # delta / mass-error math stays f32 (d_frag_dmz / d_prec_dmz below).
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else f32
     d_frag_int = d_frag_int.astype(cdt)
 
     # ---- dense precursors, observations collapsed [B, KI, W] ----------
     islot = jnp.broadcast_to(ms1_slot[:, None, :], (B, KI, O1))
     imzq = jnp.broadcast_to(iso_mz[:, :, None], (B, KI, O1))
-    d_prec_int_o, d_prec_mz_o = _xic(
+    d_prec_int_o, d_prec_dmz_o = _xic(
         cell_start,
         islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
         precursor_tol_ppm, cycle_start, **xic_kw,
     )
     d_prec_int_o = d_prec_int_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
-    d_prec_mz_o = d_prec_mz_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
+    d_prec_dmz_o = d_prec_dmz_o.reshape(B, KI, O1, W) * wmask[:, None, None, :]
     d_prec_int = d_prec_int_o.sum(axis=2).astype(cdt)  # [B, KI, W]
-    nz = (d_prec_mz_o > 0).sum(axis=2).astype(f32)
-    # reference sum/count; an eps in the DENOMINATOR here would bias the
-    # observed m/z by -eps relative (-1 ppm at eps=1e-6, nz=1) — caught by
-    # tests/unit/test_scoring_golden.py
-    d_prec_mz = jnp.where(
-        nz > 0, d_prec_mz_o.sum(axis=2) / jnp.maximum(nz, 1.0), 0.0
+    nz = (d_prec_int_o > 0).sum(axis=2).astype(f32)
+    prec_present = nz > 0  # [B, KI, W]
+    # reference obs-merge is sum/(count + 1e-6) on ABSOLUTE m/z
+    # (candidate.py:262-269): the eps shifts the merged m/z by
+    # -1e-6*mz/(count+1e-6) — about -1 ppm at count=1 — and the shift
+    # varies with which isotopes/frames have signal, so it must be
+    # replicated, not dropped, for weighted_mass_* parity. In delta space:
+    # merged = (sum(d_j) - 1e-6*qc) / (count + 1e-6), qc = iso_mz.
+    d_prec_dmz = jnp.where(
+        prec_present,
+        (d_prec_dmz_o.sum(axis=2) - 1e-6 * iso_mz[:, :, None]) / (nz + 1e-6),
+        0.0,
     )
 
     # ---- quadrupole transfer + template -------------------------------
@@ -282,11 +292,22 @@ def score_candidates_batch(
     features = features.at[:, 6].set(sum_prec.sum(axis=1))
     features = features.at[:, 7].set((sum_prec * iso_intensity).sum(axis=1))
 
-    center_arr = jnp.full((B, KI), float(C), dtype=f32)
-    prec_height = weighted_center_mean(d_prec_int, center_arr, wmask[:, None, :])
-    prec_mz_obs = weighted_center_mean(d_prec_mz, center_arr, wmask[:, None, :])
-    mz_nz = prec_mz_obs > 0
-    mass_err_iso = (prec_mz_obs - iso_mz) / iso_mz * 1e6
+    # the reference weights precursor planes from frame index 1 relative to
+    # the candidate window START with scan center 2 (a tile(shape) artifact,
+    # precursor_features.py:52-67) — NOT from the apex; buffer index of
+    # window-frame 1 is frame_start - cycle_start + 1
+    prec_ctr = (frame_start - cycle_start + 1).astype(f32)  # [B]
+    center_arr = jnp.broadcast_to(prec_ctr[:, None], (B, KI))
+    prec_kw = dict(scan_dist_sq=(4.0, 1.0))
+    prec_height = weighted_center_mean(
+        d_prec_int, center_arr, wmask[:, None, :], **prec_kw
+    )
+    prec_dmz_obs = weighted_center_mean(
+        d_prec_dmz, center_arr, wmask[:, None, :],
+        nonzero=prec_present, **prec_kw,
+    )
+    mz_nz = (prec_present & wmask[:, None, :]).any(axis=-1)  # [B, KI]
+    mass_err_iso = prec_dmz_obs / iso_mz * 1e6
     weighted_mass_error = (jnp.where(mz_nz, mass_err_iso, 0.0) * iso_intensity).sum(axis=1)
     features = features.at[:, 8].set(weighted_mass_error)
     features = features.at[:, 9].set(jnp.abs(weighted_mass_error))
@@ -342,10 +363,12 @@ def score_candidates_batch(
 
     sum_frag_int = frame_profile.sum(axis=-1)  # [B, KF, O2]
 
-    # observed mz / height at template center of mass
+    # observed mz-delta / height at template center of mass
     com_f = jnp.broadcast_to(com[:, None, :], (B, KF, O2))
-    o_mz = weighted_center_mean(
-        d_frag_mz, com_f, wmask[:, None, None, :] & jnp.ones((1, KF, O2, 1), bool)
+    o_dmz = weighted_center_mean(
+        d_frag_dmz, com_f,
+        wmask[:, None, None, :] & jnp.ones((1, KF, O2, 1), bool),
+        nonzero=frag_present,
     )  # [B, KF, O2]
     o_height = weighted_center_mean(
         d_frag_int, com_f, wmask[:, None, None, :] & jnp.ones((1, KF, O2, 1), bool)
@@ -353,7 +376,8 @@ def score_candidates_batch(
     h_mask = o_height > 0  # [B, KF, O2]
     h_w = h_mask * obs_imp[:, None, :]
     h_w = h_w / (h_w.sum(axis=-1, keepdims=True) + 1e-20)
-    observed_mz = (o_mz * h_w).sum(axis=-1)  # [B, KF]
+    observed_dmz = (o_dmz * h_w).sum(axis=-1)  # [B, KF]
+    has_obs = h_mask.any(axis=-1)  # [B, KF]
     observed_height = (o_height * h_w).sum(axis=-1)
 
     features = features.at[:, 18].set(
@@ -559,7 +583,13 @@ def score_candidates_batch(
     )
 
     # ---- MS2 mass errors ---------------------------------------------
-    mass_error = (observed_mz - frag_mz) / jnp.maximum(frag_mz, 1e-6) * 1e6
+    # delta-space ppm (full f32 precision); a never-observed fragment keeps
+    # the reference's (0 - mz)/mz = -1e6 ppm sentinel
+    mass_error = jnp.where(
+        has_obs,
+        observed_dmz / jnp.maximum(frag_mz, 1e-6) * 1e6,
+        -1e6,
+    )
     features = features.at[:, 41].set(
         topk_mean_by(mass_error, frag_intensity, fmask, 3)
     )
@@ -592,7 +622,7 @@ def score_candidates_batch(
     valid = n_valid >= 2
 
     fragment_out = {
-        "mz_observed": observed_mz,
+        "mz_observed": jnp.where(has_obs, frag_mz + observed_dmz, 0.0),
         "mass_error": mass_error,
         "height": observed_height,
         "intensity": fragment_area_norm,

@@ -80,7 +80,9 @@ def _one_bin(
 
 @partial(
     jax.jit,
-    static_argnames=("n_cycles", "n_bins", "slab", "window_len", "with_mz"),
+    static_argnames=(
+        "n_cycles", "n_bins", "slab", "window_len", "with_mz", "mz_as_delta",
+    ),
 )
 def extract_xic(
     peak_mz: jax.Array,  # f32[N+pad]
@@ -98,13 +100,16 @@ def extract_xic(
     slab: int = 256,
     window_len: int = 64,
     with_mz: bool = False,
+    mz_as_delta: bool = False,
 ):
     """Extract dense XIC tensors.
 
     Returns
     -------
     intensity : f32[B, Q, window_len]
-    mz_obs : f32[B, Q, window_len] (only when ``with_mz``; 0 where empty)
+    mz_obs : f32[B, Q, window_len] (only when ``with_mz``; 0 where empty).
+        With ``mz_as_delta`` the plane holds (observed - query) m/z deltas
+        instead of absolute m/z (full f32 precision at ppm scale).
     """
     B, Q = slot_idx.shape
     W = window_len
@@ -134,6 +139,14 @@ def extract_xic(
 
     if not with_mz:
         return intensity
+    if mz_as_delta:
+        # intensity-weighted mean m/z RELATIVE to the query center — keeps
+        # the full f32 mantissa on the ppm-scale quantity instead of
+        # burning it on the ~1e2 absolute m/z (weighted_mass_* parity)
+        dmz = jnp.where(
+            intensity > 0, dmz_sum / jnp.maximum(intensity, 1e-12), 0.0
+        )
+        return intensity, dmz
     qc = (q_lo + q_hi) * 0.5
     mz_obs = jnp.where(
         intensity > 0,

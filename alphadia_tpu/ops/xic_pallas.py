@@ -51,8 +51,10 @@ import os
 QT = int(os.environ.get("ALPHADIA_TPU_PALLAS_QT", 128))  # queries per grid step (output block lane width — must be 128k)
 DEPTH = int(os.environ.get("ALPHADIA_TPU_PALLAS_DEPTH", 16))  # rolling DMA prefetch window
 # fail fast on sweep typos instead of an opaque Mosaic lane-tiling error
-assert QT > 0 and QT % 128 == 0, f"QT must be a positive multiple of 128, got {QT}"
-assert DEPTH >= 1, f"DEPTH must be >= 1, got {DEPTH}"
+if QT <= 0 or QT % 128 != 0:
+    raise ValueError(f"QT must be a positive multiple of 128, got {QT}")
+if DEPTH < 1:
+    raise ValueError(f"DEPTH must be >= 1, got {DEPTH}")
 LANE = 128
 FIELDS = 4  # mz, intensity, cycle, scanbin
 F_MZ, F_INT, F_CYC, F_SCAN = range(FIELDS)
@@ -186,8 +188,8 @@ def _xic_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_cycles", "n_bins", "slab", "window_len", "with_mz", "interpret",
-        "cycle_stride",
+        "n_cycles", "n_bins", "slab", "window_len", "with_mz", "mz_as_delta",
+        "interpret", "cycle_stride",
     ),
 )
 def extract_xic_pallas(
@@ -205,6 +207,7 @@ def extract_xic_pallas(
     slab: int = 256,
     window_len: int = 64,
     with_mz: bool = False,
+    mz_as_delta: bool = False,
     interpret: bool = False,
     cycle_stride: int = 1,
 ):
@@ -285,8 +288,13 @@ def extract_xic_pallas(
     intensity = out_int.T[:BQ].reshape(B, Q, W)
     if not with_mz:
         return intensity
-    qc = (q_lo + q_hi) * 0.5
     dmz = out_dmz.T[:BQ].reshape(B, Q, W)
+    if mz_as_delta:
+        # (observed - query) m/z delta: full f32 precision at ppm scale
+        return intensity, jnp.where(
+            intensity > 0, dmz / jnp.maximum(intensity, 1e-12), 0.0
+        )
+    qc = (q_lo + q_hi) * 0.5
     mz_obs = jnp.where(
         intensity > 0, qc[:, :, None] + dmz / jnp.maximum(intensity, 1e-12), 0.0
     )

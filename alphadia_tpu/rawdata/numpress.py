@@ -133,10 +133,12 @@ def decode_linear(data: bytes) -> np.ndarray:
         return np.zeros(0, np.float64)
     if len(data) < 12:
         raise ValueError("corrupt numpress-linear buffer")
-    first = struct.unpack("<I", bytes(data[8:12]))[0]
+    # seeds are signed 32-bit two's complement in the MS-Numpress spec
+    # (the encoder stores value & 0xFFFFFFFF)
+    first = struct.unpack("<i", bytes(data[8:12]))[0]
     if len(data) < 16:
         return np.array([first / fixed], np.float64)
-    second = struct.unpack("<I", bytes(data[12:16]))[0]
+    second = struct.unpack("<i", bytes(data[12:16]))[0]
     diffs = _decode_ints(_to_nibbles(data[16:]))
     # ints[k] = 2*ints[k-1] - ints[k-2] + d[k]: the first difference
     # e[k] = ints[k] - ints[k-1] obeys e[k] = e[k-1] + d[k], so the whole
@@ -145,6 +147,10 @@ def decode_linear(data: bytes) -> np.ndarray:
     ints = np.concatenate(
         [np.array([first, second], np.int64), second + np.cumsum(e)]
     )
+    # the reference decoder computes the recurrence in 32-bit ints; mod-2^32
+    # arithmetic is a ring homomorphism, so wrapping the exact int64 chain
+    # at the end reproduces its per-step wraparound
+    ints = ((ints + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
     return ints / fixed
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -329,13 +330,15 @@ FEATURE_GATES = {
     "top_ms1_intensity": (0.52, 0.999),
     "sum_ms1_intensity": (0.52, 0.999),
     "weighted_ms1_intensity": (0.52, 0.999),
-    "weighted_mass_deviation": (2.0, 0.6),  # window-center expectation (doc'd)
-    "weighted_mass_error": (1.0, 0.3),
+    # r4: reference-exact weighting (tile(shape) centers, dummy-scan
+    # distance terms, obs-merge /(count+1e-6)) + delta-space ppm math
+    "weighted_mass_deviation": (0.08, 0.99),
+    "weighted_mass_error": (0.08, 0.99),
     "mz_observed": (0.001, 0.999),
-    "mono_ms1_height": (0.25, 0.99),  # exp(-0.1 d) center weighting center choice
-    "top_ms1_height": (0.25, 0.99),
-    "sum_ms1_height": (0.25, 0.99),
-    "weighted_ms1_height": (0.25, 0.99),
+    "mono_ms1_height": (0.01, 0.999),
+    "top_ms1_height": (0.01, 0.999),
+    "sum_ms1_height": (0.01, 0.999),
+    "weighted_ms1_height": (0.01, 0.999),
     "isotope_intensity_correlation": (0.02, 0.99),
     "isotope_height_correlation": (0.02, 0.99),
     "n_observations": (0.02, None),  # observation cap (max_ms2_obs) differs
@@ -356,11 +359,11 @@ FEATURE_GATES = {
     "n_y_ions": (0.001, 0.999),
     "cycle_fwhm": (0.05, 0.99),  # cycle_time/n_slots rt-width residual
     "delta_frame_peak": (0.01, 0.95),
-    "top_3_ms2_mass_error": (0.5, 0.99),  # ppm-scale values; tiny abs diffs
-    "mean_ms2_mass_error": (0.6, 0.99),
+    "top_3_ms2_mass_error": (0.02, 0.99),  # r4 delta-space ppm math
+    "mean_ms2_mass_error": (0.02, 0.99),
     "n_overlapping": (0.001, 0.999),
     "mean_overlapping_intensity": (0.52, 0.999),  # dummy-scan 2x again
-    "mean_overlapping_mass_error": (0.6, 0.99),
+    "mean_overlapping_mass_error": (0.02, 0.99),
 }
 
 
@@ -415,6 +418,36 @@ def test_feature_parity_on_reference_candidates(ref_results, tpu_results, world)
                 fh,
                 indent=1,
             )
+
+    # regression gate vs the committed measurement (docs/parity_features.json):
+    # feature drift fails loudly instead of silently consuming gate headroom.
+    # Refresh with PARITY_REFRESH=1 after an intentional kernel change.
+    committed_path = Path(__file__).parents[2] / "docs" / "parity_features.json"
+    if os.environ.get("PARITY_REFRESH"):
+        committed_path.write_text(
+            json.dumps(
+                {k: {"median_rel_dev": v[0], "corr": v[1]} for k, v in measured.items()},
+                indent=1,
+            )
+        )
+    else:
+        committed = json.loads(committed_path.read_text())
+        assert set(committed) == set(measured), (
+            "feature set drifted vs docs/parity_features.json — "
+            "rerun with PARITY_REFRESH=1"
+        )
+        for name, rec in committed.items():
+            med, r = measured[name]
+            med_cap = max(2.0 * rec["median_rel_dev"], rec["median_rel_dev"] + 0.005)
+            if med > med_cap:
+                failures.append(
+                    f"{name}: med rel dev {med:.4f} drifted past committed "
+                    f"{rec['median_rel_dev']:.4f} (cap {med_cap:.4f})"
+                )
+            if np.isfinite(r) and np.isfinite(rec["corr"]) and r < rec["corr"] - 0.02:
+                failures.append(
+                    f"{name}: corr {r:.4f} drifted below committed {rec['corr']:.4f} - 0.02"
+                )
     assert not failures, "feature parity regressions:\n" + "\n".join(failures)
 
 

@@ -632,14 +632,17 @@ def _golden_module():
 def test_precursor_features_match_reference_function():
     """Run the reference's precursor_features() on dense arrays built from
     the golden fixture's hand-placed numbers and diff our kernel's feature
-    row against it — the MS1 intensity sums, weighted mass errors, isotope
-    intensity correlation, and observation count must agree.
+    row against it — MS1 intensity sums, weighted mass errors, isotope
+    correlations AND the height features.
 
-    Known deviation (documented in docs/parity.md): the reference's
-    weighted_center_mean centers at constants derived from array SHAPE
-    (n_scans/n_observations), our kernel centers at the candidate apex —
-    the height-derived features (11-14, 16) are compared against the
-    reference FORMULA evaluated at our center instead.
+    The dense arrays replicate the reference pipeline exactly: the dummy
+    2-row scan dim (candidate.py get_dense writes both rows), the
+    obs-merge /(count+1e-6) on the m/z plane (candidate.py:262-269), and
+    the frame window sliced to [frame_start, frame_stop) — so the
+    tile(shape)-derived centers inside precursor_features (scan 2,
+    frame 1) line up with our kernel's r4 reference-exact weighting.
+    Intensity-sum features still differ by the documented dummy-scan 2x
+    (the reference sums both identical scan rows); compared at 2x.
     """
     g = _golden_module()
     ref_pf = ref_module(
@@ -700,47 +703,51 @@ def test_precursor_features_match_reference_function():
     wmask[g.FRAME_START : g.FRAME_STOP] = True
     ms1 = g.MS1_PROF.astype(np.float64) * wmask
     KI = 3
-    dense = np.zeros((2, KI, 1, 1, W))
+    Wwin = g.FRAME_STOP - g.FRAME_START
+    dense = np.zeros((2, KI, 1, 2, Wwin))
     for k in range(KI):
-        profile = ms1 * float(g.ISO_OBS[k])
-        dense[0, k, 0, 0] = profile
-        dense[1, k, 0, 0] = np.where(
-            profile > 0, g.ISO_MZ[k] * (1 + g.MS1_PPM * 1e-6), 0.0
-        )
+        profile = ms1[g.FRAME_START : g.FRAME_STOP] * float(g.ISO_OBS[k])
+        # both dummy scan rows written (alpharaw_jit.get_dense), m/z plane
+        # carries the obs-merged /(count+1e-6) value at count=1
+        for s in range(2):
+            dense[0, k, 0, s] = profile
+            dense[1, k, 0, s] = np.where(
+                profile > 0,
+                g.ISO_MZ[k] * (1 + g.MS1_PPM * 1e-6) / (1 + 1e-6),
+                0.0,
+            )
     feature_array = np.zeros(64)
     ref_pf.precursor_features(
         g.ISO_MZ.astype(np.float64),
         g.ISO_LIB.astype(np.float64),
         dense,
         np.array([1.0]),
-        np.zeros((1, 1, W)),
+        np.zeros((1, 2, Wwin)),
         feature_array,
     )
 
-    # raw MS1 intensity sums travel bf16 on the wire (1/256 mantissa)
-    for idx, name, rel in [
-        (4, "mono_ms1_intensity", 1 / 100),
-        (5, "top_ms1_intensity", 1 / 100),
-        (6, "sum_ms1_intensity", 1 / 100),
-        (7, "weighted_ms1_intensity", 1 / 100),
-        # ppm math runs f32 in-kernel (reference is f64): ~0.3 ppm of
-        # precision at m/z 450 -> compare at 2% of the 3 ppm truth
-        (8, "weighted_mass_deviation", 2e-2),
-        (9, "weighted_mass_error", 2e-2),
-        (10, "mz_observed", 1e-5),
-        (15, "isotope_intensity_correlation", 2e-3),
+    # raw MS1 intensity sums travel bf16 on the wire (1/256 mantissa);
+    # the reference's intensity SUMS double-count the dummy scan row (2x)
+    for idx, name, rel, scale in [
+        (4, "mono_ms1_intensity", 1 / 100, 2.0),
+        (5, "top_ms1_intensity", 1 / 100, 2.0),
+        (6, "sum_ms1_intensity", 1 / 100, 2.0),
+        (7, "weighted_ms1_intensity", 1 / 100, 2.0),
+        # ppm math runs in delta space (r4): compare at 1% of the truth
+        (8, "weighted_mass_deviation", 1e-2, 1.0),
+        (9, "weighted_mass_error", 1e-2, 1.0),
+        (10, "mz_observed", 1e-5, 1.0),
+        (15, "isotope_intensity_correlation", 2e-3, 1.0),
+        # height features now reference-exact (weighted_center_mean with
+        # the tile(shape) centers and dummy-scan distance terms); they
+        # travel bf16 on the wire like the intensity sums -> 1% tolerance
+        (11, "mono_ms1_height", 1 / 100, 1.0),
+        (12, "top_ms1_height", 1 / 100, 1.0),
+        (13, "sum_ms1_height", 1 / 100, 1.0),
+        (14, "weighted_ms1_height", 1 / 100, 1.0),
+        (16, "isotope_height_correlation", 2e-3, 1.0),
     ]:
-        assert ours[name] == pytest.approx(feature_array[idx], rel=rel), name
-
-    # height features: reference formula (exp(-0.1 d) weighted mean of
-    # nonzero values) evaluated at OUR center convention
-    frames = np.arange(W, dtype=np.float64)
-    C = g.C
-    wts = np.exp(-0.1 * np.abs(frames - C)) * (ms1 > 0)
-    ms1_h = (ms1 * wts).sum() / wts.sum()
-    iso_h = np.array([ms1_h * a for a in g.ISO_OBS], np.float64)
-    assert ours["mono_ms1_height"] == pytest.approx(iso_h[0], rel=2e-3)
-    assert ours["sum_ms1_height"] == pytest.approx(iso_h.sum(), rel=2e-3)
+        assert ours[name] * scale == pytest.approx(feature_array[idx], rel=rel), name
 
 
 # ----------------------------------------------------------------------
@@ -823,9 +830,16 @@ def test_fragment_features_match_reference_function():
         position=np.array([g.FRAGS[f][3] for f in valid], np.uint8),
     )
     fa = np.zeros(64)
+    # the real pipeline's template carries the dummy 2-row scan dim
+    # (identical rows), putting the scan center-of-mass at 0.5 — the
+    # weighted_center_mean distances become sqrt(0.25 + df^2), which is
+    # what our kernel's collapsed-scan weighting replicates; a 1-row
+    # template would put the com at 0 (plain |df|), a shape the pipeline
+    # never produces
+    template_2row = np.repeat(ms1.reshape(1, 1, W), 2, axis=1).copy()
     ref_ff.fragment_features(
         dense, frame_profile, frame_rt, np.array([1.0]),
-        ms1.reshape(1, 1, W).copy(), frags, fa,
+        template_2row, frags, fa,
         quant_window=3, quant_all=True,
     )
 

@@ -114,3 +114,17 @@ def test_truncated_stream_raises():
     )
     with pytest.raises(ValueError, match="truncated|corrupt"):
         decode_linear(data)
+
+
+def test_linear_negative_seeds_roundtrip():
+    # legal per spec: seed ints are signed 32-bit two's complement
+    # (the encoder stores value & 0xFFFFFFFF); unsigned decoding turned
+    # a -5.0 start into ~4.3e6 at fixed_point=1000
+    vals = np.array([-5.0, -4.25, -3.5, -1.0, 0.0, 2.5, 7.0])
+    out = decode_linear(encode_linear(vals, fixed_point=1000.0))
+    np.testing.assert_allclose(out, vals, atol=1e-3)
+
+
+def test_linear_single_negative_seed():
+    out = decode_linear(encode_linear([-42.0], fixed_point=1000.0))
+    np.testing.assert_allclose(out, [-42.0], atol=1e-3)

@@ -215,13 +215,21 @@ def _expected():
     e["top_ms1_intensity"] = iso_obs_sum[0]  # argmax(ISO_LIB) == 0
     e["sum_ms1_intensity"] = iso_obs_sum.sum()
     e["weighted_ms1_intensity"] = (iso_obs_sum * ISO_LIB.astype(np.float64)).sum()
-    e["weighted_mass_deviation"] = MS1_PPM * ISO_LIB.astype(np.float64).sum()
+    # reference obs-merge divides the m/z plane by (count + 1e-6): at one
+    # MS1 observation per cycle that is a -1 ppm shift on every isotope
+    e["weighted_mass_deviation"] = (
+        (MS1_PPM - 1.0) / (1.0 + 1e-6) * ISO_LIB.astype(np.float64).sum()
+    )
     e["weighted_mass_error"] = abs(e["weighted_mass_deviation"])
     e["mz_observed"] = ISO_MZ[0] + e["weighted_mass_deviation"] * 1e-6 * ISO_MZ[0]
 
-    # exp(-0.1 * |w - C|)-weighted mean of nonzero values
+    # reference weighted_center_mean: the dummy 2-row scan dim and the
+    # tile(shape) centers put the weight at sqrt((s-2)^2 + (f-f*)^2) for
+    # s in {0,1} with f* = window-frame 1 = buffer FRAME_START + 1
     frames = np.arange(W, dtype=np.float64)
-    wts = np.exp(-0.1 * np.abs(frames - C)) * (ms1 > 0)
+    d = frames - (FRAME_START + 1)
+    wref = np.exp(-0.1 * np.sqrt(4.0 + d**2)) + np.exp(-0.1 * np.sqrt(1.0 + d**2))
+    wts = wref * (ms1 > 0)
     ms1_h = (ms1 * wts).sum() / wts.sum()
     iso_h = np.array([ms1_h * a for a in ISO_OBS])
     e["mono_ms1_height"] = iso_h[0]
@@ -248,11 +256,14 @@ def _expected():
     int_nz = (obs_int > 0) & fmask  # f2's bumps die in the envelope
     e["intensity_correlation"] = _pearson(frag_area[fmask], int_norm[fmask])
 
-    # observed height: exp-weighted mean at the template center of mass (C)
+    # observed height: exp-weighted mean at the template center of mass (C);
+    # the dummy scan rows contribute sqrt(0.25 + d^2) twice (constant 2x
+    # cancels in the mean)
+    wfrag = np.exp(-0.1 * np.sqrt(0.25 + (frames - C) ** 2))
     o_height = np.array(
         [
-            (prof[f] * np.exp(-0.1 * np.abs(frames - C)) * (prof[f] > 0)).sum()
-            / max((np.exp(-0.1 * np.abs(frames - C)) * (prof[f] > 0)).sum(), 1e-12)
+            (prof[f] * wfrag * (prof[f] > 0)).sum()
+            / max((wfrag * (prof[f] > 0)).sum(), 1e-12)
             for f in range(4)
         ]
     )

@@ -56,6 +56,7 @@ from alphadia_tpu.ops.features import (
     masked_corrcoef,
     masked_mean,
     masked_median,
+    or_envelope,
     pearson_rows,
     pearson_rows_masked,
     topk_mean_by,
@@ -173,6 +174,11 @@ def score_candidates_batch(
         with_mz=True,
         mz_as_delta=True,
     )
+    if n_scan_bins > 1:
+        # 4D: crop the frame dense to the candidate's scan window, like the
+        # reference's _assemble_push honouring scan_limits (bruker_jit.py)
+        xic_kw["scan_lo"] = scan_lo
+        xic_kw["scan_hi"] = scan_hi
 
     # ---- dense fragments [B, KF, O2, W] -------------------------------
     fslot = jnp.where(frag_valid[:, :, None], ms2_slot[:, None, :], -1)  # [B,KF,O2]
@@ -180,7 +186,17 @@ def score_candidates_batch(
     _xic = (
         (lambda *a, **k: extract_xic_pallas(peak_packed, *a, **k))
         if use_pallas
-        else (lambda *a, **k: extract_xic(peak_mz, peak_intensity, *a, **k))
+        else (
+            lambda *a, **k: extract_xic(
+                peak_mz,
+                peak_intensity,
+                *a,
+                # scanbin filter rides the packed store on the pallas path;
+                # the XLA path needs the explicit per-peak bin array
+                **({"peak_scanbin": peak_scanbin} if "scan_lo" in k else {}),
+                **k,
+            )
+        )
     )
     d_frag_int, d_frag_dmz = _xic(
         cell_start,
@@ -488,6 +504,11 @@ def score_candidates_batch(
             fslot.reshape(B, KF * O2), fmzq.reshape(B, KF * O2),
             fragment_tol_ppm, c_lo, c_hi, **sp_kw,
         ).reshape(B, KF, O2, S) * smask[:, None, None, :]
+        # the reference or-envelopes scan profiles before ALL downstream
+        # mobility features (candidate.py:344-347: or_envelope_2d for
+        # fragments, or_envelope_1d for the template) — raw timsTOF scan
+        # profiles are spiky and the envelope is what gets correlated
+        frag_scan = or_envelope(frag_scan) * smask[:, None, None, :]
         prec_scan = extract_scan_profile(
             peak_mz, peak_intensity, peak_scanbin, cell_start,
             islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
@@ -498,6 +519,7 @@ def score_candidates_batch(
             * qtf[:, :, :, None]
             * prec_scan[:, :, None, :]
         ).sum(axis=1)  # [B, O2, S]
+        template_scan = or_envelope(template_scan) * smask[:, None, :]
 
         # 29: pairwise fragment scan correlations, obs-importance reduced,
         # intensity-weighted (masked moments over the candidate scan window)
@@ -516,7 +538,12 @@ def score_candidates_batch(
         scan_corr_list = jnp.einsum(
             "bfg,bg->bf", corr_s_red * sc_mask[:, None, :], w_scan
         )
-        features = features.at[:, 29].set(masked_mean(scan_corr_list, sc_mask))
+        # reference zeroes BOTH scan correlations below 3 valid fragments
+        # (fragment_features.py:440-441)
+        scan_ok = sc_mask.sum(axis=1) >= 3  # [B]
+        features = features.at[:, 29].set(
+            jnp.where(scan_ok, masked_mean(scan_corr_list, sc_mask), 0.0)
+        )
 
         # 30: fragment-template scan correlation
         t_corr_s = masked_corrcoef(
@@ -525,7 +552,9 @@ def score_candidates_batch(
             jnp.broadcast_to(smask[:, None, None, :], frag_scan.shape),
         )  # [B, KF, O2]
         t_red_s = (t_corr_s * obs_imp[:, None, :]).sum(-1)
-        features = features.at[:, 30].set((t_red_s * w_scan).sum(-1))
+        features = features.at[:, 30].set(
+            jnp.where(scan_ok, (t_red_s * w_scan).sum(-1), 0.0)
+        )
 
         # 39: mobility FWHM (fraction above half max x mobility extent)
         smax = frag_scan.max(axis=-1, keepdims=True)

@@ -436,6 +436,9 @@ def select_candidates_batch_4d(
         "f_mobility",
         "center_fraction",
         "peak_cycle_tolerance",
+        "peak_scan_tolerance",
+        "join_close_candidates",
+        "join_cycle_threshold",
     ),
 )
 def select_candidates_batch_4d_sliced(

@@ -33,9 +33,14 @@ import numpy as np
 def _one_bin(
     peak_mz, peak_intensity, cs_flat, row, c0, q_lo, q_hi, valid, *,
     n_cycles, slab, W, with_mz,
+    peak_scanbin=None, s_lo=None, s_hi=None,
 ):
     """XIC contribution of one coarse bin. Shapes: row/q_lo/q_hi/valid
-    [B, Q]; c0 [B, 1]. Returns ([B, Q, W], [B, Q, W] or None)."""
+    [B, Q]; c0 [B, 1]. Returns ([B, Q, W], [B, Q, W] or None).
+
+    ``peak_scanbin``/``s_lo``/``s_hi`` restrict peaks to a per-query scan
+    (ion-mobility) window [s_lo, s_hi) — the 4D candidate crop (reference
+    bruker_jit.py _assemble_push honours scan_limits)."""
     B, Q = row.shape
     # per-cycle boundaries within this (slot, bin) row: [B, Q, W+1]
     w_idx = jnp.arange(W + 1, dtype=jnp.int32)
@@ -57,6 +62,13 @@ def _one_bin(
         & (g_mz <= q_hi[:, :, None])
         & valid[:, :, None]
     )
+    if peak_scanbin is not None:
+        g_scan = peak_scanbin[g_idx]
+        vmask = (
+            vmask
+            & (g_scan >= s_lo[:, :, None])
+            & (g_scan < s_hi[:, :, None])
+        )
     v = jnp.where(vmask, g_int, 0.0)
     P = jnp.concatenate(
         [jnp.zeros((B, Q, 1), v.dtype), jnp.cumsum(v, axis=-1)], axis=-1
@@ -101,6 +113,9 @@ def extract_xic(
     window_len: int = 64,
     with_mz: bool = False,
     mz_as_delta: bool = False,
+    peak_scanbin: jax.Array | None = None,  # i32[N+pad]
+    scan_lo: jax.Array | None = None,  # i32[B] candidate scan window start
+    scan_hi: jax.Array | None = None,  # i32[B] exclusive
 ):
     """Extract dense XIC tensors.
 
@@ -132,9 +147,16 @@ def extract_xic(
 
     c0 = cycle_start[:, None]
     row = slot_c * n_bins + b_c
+    scan_kw = {}
+    if peak_scanbin is not None:
+        scan_kw = dict(
+            peak_scanbin=peak_scanbin,
+            s_lo=jnp.broadcast_to(scan_lo[:, None], row.shape),
+            s_hi=jnp.broadcast_to(scan_hi[:, None], row.shape),
+        )
     intensity, dmz_sum = _one_bin(
         peak_mz, peak_intensity, cs_flat, row, c0, q_lo, q_hi, valid_q,
-        n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz,
+        n_cycles=n_cycles, slab=slab, W=W, with_mz=with_mz, **scan_kw,
     )
 
     if not with_mz:

@@ -87,7 +87,7 @@ def pack_peak_store(peak_mz, peak_intensity, peak_cycle, peak_scanbin=None):
 
 
 def _xic_kernel(
-    r_ref,  # i32[QT, 4] (SMEM): r0, slab_len, c0, valid
+    r_ref,  # i32[QT, 6] (SMEM): r0, slab_len, c0, s_lo, s_hi, pad
     qlo_ref,  # f32[QT, 1] (SMEM)
     qhi_ref,  # f32[QT, 1] (SMEM)
     packed_hbm,  # f32[NR, 4, 128] (ANY/HBM)
@@ -125,6 +125,9 @@ def _xic_kernel(
         r0 = jnp.maximum(r_ref[q, 0], 0)
         slab_len = r_ref[q, 1]
         c0 = r_ref[q, 2]
+        # per-query scan (mobility) window [s_lo, s_hi); full range for 3D
+        s_lo = r_ref[q, 3].astype(jnp.float32)
+        s_hi = r_ref[q, 4].astype(jnp.float32)
         off = r0 - row0_of(q) * LANE
 
         # index of each VMEM element relative to the slab start
@@ -133,11 +136,14 @@ def _xic_kernel(
             + jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
             - off
         )
+        scanb = buf[:, F_SCAN, :]  # [R, 128] (f32 bin index)
         ok = (
             (mz >= qlo)
             & (mz <= qhi)
             & (k_abs >= 0)
             & (k_abs < slab_len)
+            & (scanb >= s_lo)
+            & (scanb < s_hi)
         )
         v = jnp.where(ok, inten, 0.0)  # [R, 128]
         qc = (qlo + qhi) * 0.5
@@ -210,6 +216,8 @@ def extract_xic_pallas(
     mz_as_delta: bool = False,
     interpret: bool = False,
     cycle_stride: int = 1,
+    scan_lo: jax.Array | None = None,  # i32[B] candidate scan window start
+    scan_hi: jax.Array | None = None,  # i32[B] exclusive
 ):
     assert cycle_stride & (cycle_stride - 1) == 0, "stride must be pow2"
     B, Q = slot_idx.shape
@@ -240,20 +248,30 @@ def extract_xic_pallas(
     slab_len = jnp.clip(r_end - r0, 0, slab)
     slab_len = jnp.where(valid_q, slab_len, 0)
 
-    # pack per-query scalars: r0, slab_len, c0, pad
+    # per-query scan (mobility) window; full range when not filtering
+    if scan_lo is None:
+        slo_q = jnp.zeros_like(r0)
+        shi_q = jnp.full_like(r0, 1 << 24)
+    else:
+        slo_q = jnp.broadcast_to(scan_lo[:, None], row.shape)
+        shi_q = jnp.broadcast_to(scan_hi[:, None], row.shape)
+
+    # pack per-query scalars: r0, slab_len, c0, s_lo, s_hi, pad
     meta = jnp.stack(
         [
             r0,
             slab_len,
             jnp.broadcast_to(cycle_start[:, None], row.shape),
+            slo_q,
+            shi_q,
             jnp.zeros_like(r0),
         ],
         axis=-1,
-    )  # [B, Q, 4]
+    )  # [B, Q, 6]
 
     BQ = B * Q
     BQ_pad = ((BQ + QT - 1) // QT) * QT
-    meta_flat = jnp.pad(meta.reshape(BQ, 4), ((0, BQ_pad - BQ), (0, 0)))
+    meta_flat = jnp.pad(meta.reshape(BQ, 6), ((0, BQ_pad - BQ), (0, 0)))
     qlo_flat = jnp.pad(q_lo.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
     qhi_flat = jnp.pad(q_hi.reshape(BQ, 1), ((0, BQ_pad - BQ), (0, 0)))
 
@@ -265,7 +283,7 @@ def extract_xic_pallas(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((QT, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((QT, 6), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((QT, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),

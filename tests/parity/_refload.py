@@ -365,3 +365,89 @@ def build_ref_alpharaw(spectra):
         1,  # scan_max_index (no mobility)
         n_spectra - 1,  # frame_max_index
     )
+
+
+def build_ref_timstof(spectra, n_scans: int = 8):
+    """Construct the reference ``TimsTOFTransposeJIT`` (de-jitted) from a
+    4D ``SpectrumData``: per-peak mobilities quantized to ``n_scans``
+    uniform bins (the same binning ``DiaData.from_spectra`` applies), then
+    transposed to the TOF-indexed layout the reference 4D kernels expect
+    (reference: alphadia/raw_data/bruker.py:156-274 `_transpose`,
+    search/jitclasses/bruker_jit.py:56-135).
+
+    alphatims scans are DESCENDING in mobility (scan 0 = highest 1/K0),
+    so ascending bin b maps to scan ``n_scans - 1 - b``.
+    """
+    jit_mod = ref_module(
+        "alphadia.search.jitclasses.bruker_jit",
+        "alphadia/search/jitclasses/bruker_jit.py",
+    )
+    ms_level = np.asarray(spectra.ms_level)
+    iso_lo = np.asarray(spectra.isolation_lower_mz, np.float64)
+    iso_hi = np.asarray(spectra.isolation_upper_mz, np.float64)
+    slots = int(np.argmax(ms_level[1:] == 1)) + 1
+    S = int(n_scans)
+    n_spectra = len(ms_level)
+
+    mob = np.asarray(spectra.mobility, np.float64)
+    mob_min, mob_max = float(mob.min()), float(mob.max())
+    span = max(mob_max - mob_min, 1e-9)
+    asc_bin = np.clip(((mob - mob_min) / span * S).astype(np.int64), 0, S - 1)
+    scan = (S - 1) - asc_bin
+    centers_asc = mob_min + (np.arange(S, dtype=np.float64) + 0.5) / S * span
+    mobility_values = centers_asc[::-1].copy()
+
+    # global TOF grid = sorted unique m/z values
+    mz = np.asarray(spectra.mz, np.float64)
+    mz_values, tof_of_peak = np.unique(mz, return_inverse=True)
+    counts = (
+        np.asarray(spectra.peak_stop_idx, np.int64)
+        - np.asarray(spectra.peak_start_idx, np.int64)
+    )
+    frame_of_peak = np.repeat(np.arange(n_spectra, dtype=np.int64), counts)
+    push = frame_of_peak * S + scan
+
+    order = np.lexsort((push, tof_of_peak))
+    push_indices = push[order].astype(np.uint32)
+    intensity_values = np.asarray(spectra.intensity, np.float64)[order]
+    tof_indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(tof_of_peak, minlength=len(mz_values)))]
+    ).astype(np.int64)
+
+    cycle = np.zeros((1, slots, S, 2), np.float64)
+    cycle[0, :, :, 0] = iso_lo[:slots, None]
+    cycle[0, :, :, 1] = iso_hi[:slots, None]
+    dia_mz_cycle = cycle.reshape(-1, 2)
+    dia_precursor_cycle = np.repeat(np.arange(slots, dtype=np.int64), S)
+
+    ms2 = ms_level == 2
+    return jit_mod.TimsTOFTransposeJIT(
+        np.full(n_spectra, 0.1, np.float64),  # accumulation_times (unused)
+        cycle,
+        dia_mz_cycle,
+        dia_precursor_cycle,
+        n_spectra,  # frame_max_index
+        np.ones(n_spectra, np.float64),  # intensity_corrections (unused)
+        int(intensity_values.max()) + 1,
+        0,
+        intensity_values,
+        0.1,  # max_accumulation_time (unused)
+        mob_max,
+        mob_min,
+        mobility_values,
+        mz_values,
+        np.arange(slots, dtype=np.int64),  # precursor_indices (unused)
+        slots,  # precursor_max_index
+        np.zeros(1, np.int64),  # quad_indptr (unused)
+        float(iso_hi[ms2].max()),
+        float(iso_lo[ms2].min()),
+        np.zeros((1, 2), np.float64, order="F"),  # quad_mz_values (unused)
+        np.zeros(1, np.int64),  # raw_quad_indptr (unused)
+        np.asarray(spectra.rt, np.float64),
+        S,  # scan_max_index
+        len(mz_values),  # tof_max_index
+        0,
+        False,  # zeroth_frame
+        push_indices,
+        tof_indptr,
+    )

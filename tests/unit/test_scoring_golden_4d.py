@@ -141,22 +141,26 @@ WIDTH = 0.45
 
 
 def test_scan_correlations_golden(scored_4d):
-    # identical 0.6/0.4 scan split for every fragment and the template
-    assert scored_4d["fragment_scan_correlation"] == pytest.approx(1.0, abs=2e-3)
-    assert scored_4d["template_scan_correlation"] == pytest.approx(1.0, abs=2e-3)
+    # only 2 of 3 fragments are observed: the reference zeroes both scan
+    # correlations below 3 valid fragments (fragment_features.py:440-441)
+    assert scored_4d["fragment_scan_correlation"] == pytest.approx(0.0, abs=1e-6)
+    assert scored_4d["template_scan_correlation"] == pytest.approx(0.0, abs=1e-6)
 
 
 def test_mobility_fwhm_golden(scored_4d):
-    # per-fragment scan profile [0, .6G, .4G, 0]: 2 of 4 bins above half max
-    frac = 2 / S
+    # scan profiles are or-enveloped first (reference candidate.py:344):
+    # [0, .6G, .4G, 0] -> [0, .6G, .3G, 0]; half max .3G, strict '>' keeps
+    # only 1 of 4 bins
+    frac = 1 / S
     # normalized-intensity weights (1.0 + 0.8 over their sum)
     want = frac * WIDTH * 1.0
     assert scored_4d["mobility_fwhm"] == pytest.approx(want, rel=2e-3)
 
 
 def test_observed_mobility_golden(scored_4d):
-    # scan center of mass: 0.6 * 1.5 + 0.4 * 2.5 = 1.9 bins
-    want = MOB_MIN + 1.9 / S * (MOB_MAX - MOB_MIN)
+    # scan center of mass of the ENVELOPED profile [0, .6, .3, 0]:
+    # (0.6 * 1.5 + 0.3 * 2.5) / 0.9 = 1.8333 bins
+    want = MOB_MIN + (0.6 * 1.5 + 0.3 * 2.5) / 0.9 / S * (MOB_MAX - MOB_MIN)
     assert scored_4d["mobility_observed"] == pytest.approx(want, rel=1e-3)
 
 

@@ -53,3 +53,47 @@ def test_pallas_matches_xla(setup, with_mz):
     else:
         np.testing.assert_allclose(np.asarray(pls), np.asarray(xla), rtol=1e-5, atol=1e-3)
         assert float(np.asarray(pls).sum()) > 0  # non-trivial signal
+
+
+def test_pallas_scan_filter_matches_xla():
+    """4D candidate scan-window crop: pallas (scanbin rides the packed
+    store) vs XLA (explicit peak_scanbin array) must agree."""
+    spectra, _, _ = make_synthetic_dia(
+        SyntheticConfig(
+            n_peptides=30, n_windows=4, n_cycles=50,
+            noise_peaks_per_spectrum=30, with_mobility=True,
+        )
+    )
+    dia = DiaData.from_spectra(spectra, n_scan_bins=8)
+    rng = np.random.default_rng(3)
+    B, Q = 5, 7
+    slot_idx = rng.integers(1, dia.n_slots, (B, Q)).astype(np.int32)
+    query_mz = rng.uniform(250, 1200, (B, Q)).astype(np.float32)
+    cycle_start = rng.integers(0, dia.n_cycles - 8, B).astype(np.int32)
+    scan_lo = rng.integers(0, 4, B).astype(np.int32)
+    scan_hi = (scan_lo + rng.integers(2, 5, B)).astype(np.int32)
+    W = 16
+    kw = dict(
+        n_cycles=dia.n_cycles, n_bins=dia.n_bins, bin_mz_min=dia.bin_mz_min,
+        bin_width=dia.coarse_bin_width, slab=128, window_len=W, with_mz=True,
+    )
+    dev = dia.device_arrays()
+    xla_i, xla_m = extract_xic(
+        dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(50.0), cycle_start,
+        peak_scanbin=dev["peak_scanbin"], scan_lo=scan_lo, scan_hi=scan_hi,
+        **kw,
+    )
+    pls_i, pls_m = extract_xic_pallas(
+        dev["peak_packed"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(50.0), cycle_start,
+        scan_lo=scan_lo, scan_hi=scan_hi, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(pls_i), np.asarray(xla_i), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pls_m), np.asarray(xla_m), rtol=1e-5, atol=1e-2)
+    # the crop removes signal relative to the unfiltered extraction
+    full = extract_xic(
+        dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+        slot_idx, query_mz, np.float32(50.0), cycle_start, **kw,
+    )[0]
+    assert float(np.asarray(xla_i).sum()) < float(np.asarray(full).sum())

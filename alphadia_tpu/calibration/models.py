@@ -1,10 +1,14 @@
 """Regression models for property calibration.
 
 (reference: alphadia/calibration/models.py:24-364 ``LOESSRegression`` —
-same behavior: n_kernels local polynomial fits blended by tricubic weights,
-kernel placement uniform over the x-range or by data density, open-ended
-edge kernels for extrapolation, 0.1/99.9-percentile outlier trim, automatic
-reduction of n_kernels / polynomial degree for small data.)
+n_kernels local polynomial fits blended by tricubic weights; kernel
+intervals placed uniformly over the x-range or by data density and
+WIDENED by ``kernel_size`` (default 2.0: each kernel's data slice is
+extended by half an interval on each side, so neighbouring kernels
+overlap and the blended curve stays smooth on noisy data); open-ended
+edge kernels for extrapolation; +1e-6 kernel epsilon; 0.1/99.9-percentile
+outlier trim; automatic reduction of n_kernels / polynomial degree for
+small data.)
 """
 
 from __future__ import annotations
@@ -24,23 +28,32 @@ def construct_polynomial_regression(degree: int = 2) -> Pipeline:
     )
 
 
-def _tricubic(u: np.ndarray) -> np.ndarray:
-    """Tricubic kernel on |u| <= 1, zero outside."""
-    a = np.clip(np.abs(u), 0.0, 1.0)
-    w = (1 - a**3) ** 3
-    return np.where(np.abs(u) <= 1.0, w, 0.0)
+def _tricubic(u: np.ndarray, epsilon: float = 1e-6) -> np.ndarray:
+    """Tricubic kernel on |u| <= 1 (+epsilon inside), zero outside
+    (reference models.py:_tricubic)."""
+    mask = np.abs(u) <= 1.0
+    return mask * ((1 - np.clip(np.abs(u), 0.0, 1.0) ** 3) ** 3 + epsilon)
 
 
 class LOESSRegression:
-    """Locally weighted polynomial regression, sklearn-style fit/predict."""
+    """Locally weighted polynomial regression, sklearn-style fit/predict.
+
+    Numerically replicates the reference's kernel placement: density
+    intervals of ``n // n_kernels`` sorted points extended by
+    ``(interval * kernel_size - interval) // 2`` on each side, kernel
+    center/halfwidth = mean / max-abs-deviation of the slice.
+    """
 
     def __init__(
         self,
         n_kernels: int = 6,
-        polynomial_degree: int = 1,
+        kernel_size: float = 2.0,
+        polynomial_degree: int = 2,
+        *,
         uniform: bool = False,
     ):
         self.n_kernels = n_kernels
+        self.kernel_size = kernel_size
         self.polynomial_degree = polynomial_degree
         self.uniform = uniform
         # configured complexity: each fit() restores these before the
@@ -66,10 +79,11 @@ class LOESSRegression:
         )
         w = _tricubic(u)
         # open edges: first kernel covers everything left, last everything right
-        w[:, 0] = np.where(x <= self.centers[0], 1.0, w[:, 0])
-        w[:, -1] = np.where(x >= self.centers[-1], 1.0, w[:, -1])
+        w[:, 0] = np.where(x < self.centers[0], 1.0, w[:, 0])
+        w[:, -1] = np.where(x > self.centers[-1], 1.0, w[:, -1])
         s = w.sum(axis=1, keepdims=True)
-        # fall back to nearest kernel where all weights vanish
+        # fall back to nearest kernel where all weights vanish (possible
+        # only in interior gaps wider than the widened kernels)
         nearest = np.argmin(np.abs(u), axis=1)
         empty = s[:, 0] <= 0
         if empty.any():
@@ -99,10 +113,11 @@ class LOESSRegression:
         if len(x) < dof:
             self.polynomial_degree = max(len(x) - 1, 0)
 
-        # outlier trim (only meaningful with enough data)
-        if len(x) >= 50:
+        # outlier trim (reference: strict 0.1/99.9 percentile, always;
+        # guarded here so tiny inputs keep >= 2 points)
+        if len(x) >= 8:
             lo, hi = np.percentile(x, [0.1, 99.9])
-            mask = (x >= lo) & (x <= hi)
+            mask = (x > lo) & (x < hi)
             if mask.sum() >= 2:
                 x, y = x[mask], y[mask]
 
@@ -111,10 +126,16 @@ class LOESSRegression:
         K = self.n_kernels
 
         if self.uniform:
-            edges = np.linspace(xs[0], xs[-1], 2 * K + 1)
-            self.centers = edges[1::2]
-            self.halfwidths = np.maximum(edges[2::2] - self.centers, 1e-12)
-            counts = np.searchsorted(xs, edges[2::2]) - np.searchsorted(xs, edges[::2][:-1])
+            self._place_uniform(xs)
+            # too few points in some uniform kernel -> density placement
+            counts = np.array(
+                [
+                    np.sum(
+                        (xs >= c - h) & (xs <= c + h)
+                    )
+                    for c, h in zip(self.centers, self.halfwidths)
+                ]
+            )
             if np.any(counts < (1 + self.polynomial_degree)):
                 self._place_by_density(xs)
         else:
@@ -134,16 +155,37 @@ class LOESSRegression:
             self.beta[:, k] = (loadings * wk) @ y
         return self
 
+    def _place_uniform(self, xs: np.ndarray) -> None:
+        """Uniform intervals widened by kernel_size (reference
+        _intervals_uniform)."""
+        K = self.n_kernels
+        minval, maxval = xs[0], xs[-1]
+        interval = max((maxval - minval) / K, 1e-12)
+        start = (
+            minval
+            + np.arange(K) * interval
+            - (interval / 2) * (self.kernel_size - 1)
+        )
+        stop = start + interval + interval * (self.kernel_size - 1)
+        self.centers = (start + stop) / 2
+        self.halfwidths = np.maximum((stop - start) / 2, 1e-12)
+
     def _place_by_density(self, xs: np.ndarray) -> None:
-        """Overlapping kernels each holding ~2/(K+1) of the data."""
+        """Equal-count intervals widened by kernel_size (reference
+        _kernel_indices_density): interval = n // K points per kernel,
+        extended by (interval * kernel_size - interval) // 2 points on
+        each side; center/halfwidth = mean / max |x - mean| of the
+        extended slice."""
         K = self.n_kernels
         n = len(xs)
-        span = max(int(np.ceil(2 * n / (K + 1))), 2)
-        starts = np.linspace(0, n - span, K).astype(int)
+        interval = max(n // K, 1)
+        ext = int((interval * self.kernel_size - interval) // 2)
         self.centers = np.zeros(K)
         self.halfwidths = np.zeros(K)
-        for k, s in enumerate(starts):
-            seg = xs[s : s + span]
+        for k in range(K):
+            s = max(0, k * interval - ext)
+            e = min(n, (k + 1) * interval + ext)
+            seg = xs[s:e] if e > s else xs[max(0, s - 1) : s + 1]
             self.centers[k] = seg.mean()
             self.halfwidths[k] = max(np.max(np.abs(seg - self.centers[k])), 1e-12)
 
@@ -158,6 +200,7 @@ class LOESSRegression:
     def get_params(self, deep: bool = True) -> dict:
         return {
             "n_kernels": self.n_kernels,
+            "kernel_size": self.kernel_size,
             "polynomial_degree": self.polynomial_degree,
             "uniform": self.uniform,
         }

@@ -2,7 +2,8 @@
 
 (reference: alphadia/workflow/managers/calibration_manager.py:36-297 —
 groups 'precursor' (mz, rt, mobility) and 'fragment' (mz); LOESS with
-n_kernels 2 for m/z (ppm transform) and 6 for RT; fit on filtered PSMs,
+n_kernels 2 for m/z (ppm transform) and 6 for RT, reference defaults
+(kernel_size 2.0, polynomial degree 2); fit on filtered PSMs,
 predict onto PSM/library dataframes producing ``*_calibrated`` columns.)
 """
 
@@ -35,7 +36,7 @@ def _default_estimators(has_ms1: bool, has_mobility: bool):
         groups[CalibrationGroups.PRECURSOR][CalibrationEstimators.MZ] = (
             CalibrationEstimator(
                 "mz",
-                LOESSRegression(n_kernels=2, polynomial_degree=1),
+                LOESSRegression(n_kernels=2),
                 ["mz_library"],
                 ["mz_observed"],
                 ["mz_calibrated"],
@@ -45,7 +46,7 @@ def _default_estimators(has_ms1: bool, has_mobility: bool):
     groups[CalibrationGroups.PRECURSOR][CalibrationEstimators.RT] = (
         CalibrationEstimator(
             "rt",
-            LOESSRegression(n_kernels=6, polynomial_degree=1),
+            LOESSRegression(n_kernels=6),
             ["rt_library"],
             ["rt_observed"],
             ["rt_calibrated"],
@@ -55,7 +56,7 @@ def _default_estimators(has_ms1: bool, has_mobility: bool):
         groups[CalibrationGroups.PRECURSOR][CalibrationEstimators.MOBILITY] = (
             CalibrationEstimator(
                 "mobility",
-                LOESSRegression(n_kernels=2, polynomial_degree=1),
+                LOESSRegression(n_kernels=2),
                 ["mobility_library"],
                 ["mobility_observed"],
                 ["mobility_calibrated"],
@@ -64,7 +65,7 @@ def _default_estimators(has_ms1: bool, has_mobility: bool):
     groups[CalibrationGroups.FRAGMENT][CalibrationEstimators.MZ] = (
         CalibrationEstimator(
             "mz",
-            LOESSRegression(n_kernels=2, polynomial_degree=1),
+            LOESSRegression(n_kernels=2),
             ["mz_library"],
             ["mz_observed"],
             ["mz_calibrated"],

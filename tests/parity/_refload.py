@@ -195,6 +195,88 @@ def install_stubs() -> None:
     atbruker.TimsTOF = _VendorBase
     alphatims.bruker = atbruker
 
+    # alphabase: the reference's optimization lock builds per-batch
+    # SpecLibFlat objects and compacts fragments with
+    # remove_unused_fragments; both are trivial dataframe carriers here
+    class _StubSpecLibFlat:
+        """alphabase.spectral_library.flat.SpecLibFlat stand-in: a bare
+        (_precursor_df, _fragment_df) carrier with the two read-only
+        accessors the reference workflow uses."""
+
+        def __init__(self, *a, **k):
+            import pandas as _pd
+
+            self._precursor_df = _pd.DataFrame()
+            self._fragment_df = _pd.DataFrame()
+
+        @property
+        def precursor_df(self):
+            return self._precursor_df
+
+        @property
+        def fragment_df(self):
+            return self._fragment_df
+
+    def _remove_unused_fragments(
+        precursor_df,
+        fragment_df_container,
+        frag_start_col="flat_frag_start_idx",
+        frag_stop_col="flat_frag_stop_idx",
+    ):
+        """alphabase.peptide.fragment.remove_unused_fragments stand-in:
+        keep only fragment rows referenced by the given precursors and
+        renumber the flat start/stop indices onto the compacted frame."""
+        import numpy as _np
+        import pandas as _pd
+
+        (fragment_df,) = fragment_df_container
+        precursor_df = precursor_df.copy()
+        starts = precursor_df[frag_start_col].to_numpy(_np.int64)
+        stops = precursor_df[frag_stop_col].to_numpy(_np.int64)
+        pieces, new_starts, new_stops = [], [], []
+        cursor = 0
+        for s0, s1 in zip(starts, stops):
+            pieces.append(fragment_df.iloc[s0:s1])
+            new_starts.append(cursor)
+            cursor += s1 - s0
+            new_stops.append(cursor)
+        out_frag = (
+            _pd.concat(pieces, ignore_index=True)
+            if pieces
+            else fragment_df.iloc[:0].copy()
+        )
+        precursor_df[frag_start_col] = _np.asarray(new_starts, _np.int64)
+        precursor_df[frag_stop_col] = _np.asarray(new_stops, _np.int64)
+        return precursor_df, (out_frag,)
+
+    # alphadia_search_rs: the reference's Rust NG backend extension. Only
+    # class NAMES are imported at module scope; the python-backend paths
+    # driven here never instantiate them.
+    rs = types.ModuleType("alphadia_search_rs")
+    for _name in (
+        "DIAData", "SpecLibFlat", "PeakGroupSelection", "PeakGroupScoring",
+        "PeakGroupQuantification", "SelectionParameters", "ScoringParameters",
+        "QuantificationParameters", "CandidateCollection",
+        "CandidateFeatureCollection", "SpecLibFlatQuantified",
+    ):
+        setattr(rs, _name, type(_name, (), {}))
+    rs.set_num_threads = lambda n: None
+
+    alphabase = types.ModuleType("alphabase")
+    ab_speclib = types.ModuleType("alphabase.spectral_library")
+    ab_speclib.__path__ = []  # mark as package for submodule imports
+    ab_flat = types.ModuleType("alphabase.spectral_library.flat")
+    ab_flat.SpecLibFlat = _StubSpecLibFlat
+    ab_base = types.ModuleType("alphabase.spectral_library.base")
+    ab_base.SpecLibBase = _StubSpecLibFlat  # type annotation use only
+    ab_peptide = types.ModuleType("alphabase.peptide")
+    ab_frag = types.ModuleType("alphabase.peptide.fragment")
+    ab_frag.remove_unused_fragments = _remove_unused_fragments
+    alphabase.spectral_library = ab_speclib
+    ab_speclib.flat = ab_flat
+    alphabase.peptide = ab_peptide
+    ab_peptide.fragment = ab_frag
+
     mods = {
         "alpharaw": alpharaw,
         "alpharaw.ms_data_base": ar_msdata,
@@ -202,6 +284,13 @@ def install_stubs() -> None:
         "alpharaw.sciex": ar_sciex,
         "alpharaw.thermo": ar_thermo,
         "alphatims.bruker": atbruker,
+        "alphadia_search_rs": rs,
+        "alphabase": alphabase,
+        "alphabase.spectral_library": ab_speclib,
+        "alphabase.spectral_library.flat": ab_flat,
+        "alphabase.spectral_library.base": ab_base,
+        "alphabase.peptide": ab_peptide,
+        "alphabase.peptide.fragment": ab_frag,
         "numba": nb,
         "numba.experimental": experimental,
         "numba.extending": extending,

@@ -90,6 +90,22 @@ def assign_observation_slots(
     win_hi = np.where(ms2_slots >= 0, win_hi_all[slot_safe], 1e7 + 1).astype(
         np.float32
     )
+    # trim trailing MS2 observation columns that are invalid for EVERY
+    # precursor in the batch: non-overlapping DIA schemes never populate
+    # a 2nd window slot, so max_ms2_obs=2 makes HALF the fragment XIC
+    # queries invalid by construction (the gather kernel is bound by
+    # per-query sequencing). first_k_true fills columns as a prefix, so
+    # used columns are contiguous from 0 and a trailing trim is exact —
+    # every reduction over the obs axis is a masked sum, and dropped
+    # columns contributed only zeros.
+    if ms2_slots.shape[1] > 1:
+        used = (ms2_slots >= 0).any(axis=0)
+        o2_eff = int(used.nonzero()[0].max() + 1) if used.any() else 1
+        if o2_eff < ms2_slots.shape[1]:
+            ms2_slots = ms2_slots[:, :o2_eff]
+            win_lo = win_lo[:, :o2_eff]
+            win_hi = win_hi[:, :o2_eff]
+
     ms1_all = np.nonzero(~is_ms2)[0][:max_ms1_obs]
     if dia.has_ms1 and len(ms1_all):
         ms1_slots = np.broadcast_to(

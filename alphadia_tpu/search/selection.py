@@ -170,12 +170,13 @@ class CandidateSelection:
             dia, mono_mz, iso_mz, cfg.max_ms2_obs, cfg.max_ms1_obs
         )
 
-        # fragment queries: KF fragments x max_ms2_obs observations
-        QF = KF * cfg.max_ms2_obs
+        # fragment queries: KF fragments x (trimmed) observation columns
+        n_obs2 = ms2_slots.shape[1]
+        QF = KF * n_obs2
         frag_slot = np.repeat(ms2_slots, KF, axis=1)  # [n, QF]
-        frag_mz_q = np.tile(sel_mz, cfg.max_ms2_obs)
+        frag_mz_q = np.tile(sel_mz, n_obs2)
         frag_slot = np.where(
-            np.tile(sel_valid, cfg.max_ms2_obs), frag_slot, -1
+            np.tile(sel_valid, n_obs2), frag_slot, -1
         ).astype(np.int32)
 
         # isotope queries

@@ -190,7 +190,11 @@ def _roofline(n_candidates: int, scoring_seconds: float) -> dict:
 
     Per candidate (defaults KF=12 fragments, O2=2 quad obs, KI=3 isotopes,
     W=16-cycle window, slab=256 gathered peaks/query):
-      - XIC gather: (KF*O2 + KI) * slab peaks * 8 B (mz+intensity reads)
+      - XIC gather: (KF*O2 + KI) * slab peaks * 8 B (mz+intensity reads).
+        NOTE: since the r4 skip-empty kernel, ~58% of fragment queries
+        issue no DMA at all, so this analytic byte count overstates the
+        actual traffic ~2.4x — the model is kept as the workload's
+        DEMAND-side roofline (what a gather with no skip would move)
       - dense pipeline: ~60 elementwise/reduction passes over [KF, O2, W]
         f32 plus the KFxKF frame/scan correlation einsums.
     """

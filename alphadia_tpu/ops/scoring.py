@@ -282,8 +282,13 @@ def score_candidates_batch(
     n_valid = fmask.sum(axis=1)  # [B]
     n_input = jnp.maximum(frag_valid.sum(axis=1), 1)
 
-    features = jnp.zeros((B, NUM_FEATURES), dtype=f32)
-    features = features.at[:, 28].set(n_valid / n_input)  # f_masked
+    # features accumulate in a dict of [B] columns stacked ONCE at the end:
+    # 45 sequential `features.at[:, i].set(...)` updates created a serial
+    # dynamic-update-slice chain that splintered the feature section into
+    # ~235 small XLA loop fusions per batch (profiled 2026-08); the stack
+    # form lets XLA fuse feature math freely. Unset indices stay zero.
+    feat: dict[int, jnp.ndarray] = {}
+    feat[28] = (n_valid / n_input)  # f_masked
 
     # ---- location features -------------------------------------------
     # rt extent spans the full candidate window [frame_start, frame_stop);
@@ -294,19 +299,19 @@ def score_candidates_batch(
     rt_start = cycle_rt[jnp.clip(frame_start, 0, n_cycles - 1)]
     rt_stop = cycle_rt[jnp.clip(frame_stop, 0, n_cycles - 1)]
     rt_obs = cycle_rt[jnp.clip(frame_center, 0, n_cycles - 1)]
-    features = features.at[:, 1].set(rt_stop - rt_start)
-    features = features.at[:, 2].set(rt_obs)
-    features = features.at[:, 3].set(1e-6)
+    feat[1] = (rt_stop - rt_start)
+    feat[2] = (rt_obs)
+    feat[3] = (1e-6)
 
     # ---- precursor features ------------------------------------------
     sum_prec = d_prec_int.sum(axis=-1)  # [B, KI] (obs importance sums to 1)
-    features = features.at[:, 4].set(sum_prec[:, 0])
+    feat[4] = (sum_prec[:, 0])
     top_iso = jnp.argmax(iso_intensity, axis=1)  # [B]
-    features = features.at[:, 5].set(
+    feat[5] = (
         jnp.take_along_axis(sum_prec, top_iso[:, None], axis=1)[:, 0]
     )
-    features = features.at[:, 6].set(sum_prec.sum(axis=1))
-    features = features.at[:, 7].set((sum_prec * iso_intensity).sum(axis=1))
+    feat[6] = (sum_prec.sum(axis=1))
+    feat[7] = ((sum_prec * iso_intensity).sum(axis=1))
 
     # the reference weights precursor planes from frame index 1 relative to
     # the candidate window START with scan center 2 (a tile(shape) artifact,
@@ -325,25 +330,25 @@ def score_candidates_batch(
     mz_nz = (prec_present & wmask[:, None, :]).any(axis=-1)  # [B, KI]
     mass_err_iso = prec_dmz_obs / iso_mz * 1e6
     weighted_mass_error = (jnp.where(mz_nz, mass_err_iso, 0.0) * iso_intensity).sum(axis=1)
-    features = features.at[:, 8].set(weighted_mass_error)
-    features = features.at[:, 9].set(jnp.abs(weighted_mass_error))
-    features = features.at[:, 10].set(
+    feat[8] = (weighted_mass_error)
+    feat[9] = (jnp.abs(weighted_mass_error))
+    feat[10] = (
         iso_mz[:, 0] + weighted_mass_error * 1e-6 * iso_mz[:, 0]
     )
-    features = features.at[:, 11].set(prec_height[:, 0])
-    features = features.at[:, 12].set(
+    feat[11] = (prec_height[:, 0])
+    feat[12] = (
         jnp.take_along_axis(prec_height, top_iso[:, None], axis=1)[:, 0]
     )
-    features = features.at[:, 13].set(prec_height.sum(axis=1))
-    features = features.at[:, 14].set((prec_height * iso_intensity).sum(axis=1))
+    feat[13] = (prec_height.sum(axis=1))
+    feat[14] = ((prec_height * iso_intensity).sum(axis=1))
     ones = jnp.ones((B, KI), dtype=bool)
-    features = features.at[:, 15].set(
+    feat[15] = (
         masked_corrcoef(iso_intensity, sum_prec, ones)
     )
-    features = features.at[:, 16].set(
+    feat[16] = (
         masked_corrcoef(iso_intensity, prec_height, ones)
     )
-    features = features.at[:, 17].set(obs_valid.sum(axis=1).astype(f32))
+    feat[17] = (obs_valid.sum(axis=1).astype(f32))
 
     # ---- fragment profiles -------------------------------------------
     # frame profile per (fragment, obs): scan dim already collapsed
@@ -396,31 +401,31 @@ def score_candidates_batch(
     has_obs = h_mask.any(axis=-1)  # [B, KF]
     observed_height = (o_height * h_w).sum(axis=-1)
 
-    features = features.at[:, 18].set(
+    feat[18] = (
         masked_corrcoef(fragment_area_norm, intensity_norm, fmask)
     )
-    features = features.at[:, 19].set(
+    feat[19] = (
         masked_corrcoef(observed_height, intensity_norm, fmask)
     )
     int_nz = (observed_intensity > 0) & fmask
     h_nz = (observed_height > 0) & fmask
     nf = jnp.maximum(n_valid.astype(f32), 1.0)
-    features = features.at[:, 20].set(int_nz.sum(axis=1) / nf)
-    features = features.at[:, 21].set(h_nz.sum(axis=1) / nf)
-    features = features.at[:, 22].set((intensity_norm * int_nz).sum(axis=1))
-    features = features.at[:, 23].set((intensity_norm * h_nz).sum(axis=1))
+    feat[20] = (int_nz.sum(axis=1) / nf)
+    feat[21] = (h_nz.sum(axis=1) / nf)
+    feat[22] = ((intensity_norm * int_nz).sum(axis=1))
+    feat[23] = ((intensity_norm * h_nz).sum(axis=1))
 
     # mean_observation_score: cosine(template per-obs intensity, fragment per-obs)
     cos = cosine_rows(sum_frag_int, t_sum[:, None, :])  # [B, KF]
-    features = features.at[:, 24].set(masked_mean(cos, int_nz))
+    feat[24] = (masked_mean(cos, int_nz))
 
     is_b = frag_type == 98
     is_y = frag_type == 121
     b_int = (observed_intensity * (is_b & fmask)).sum(axis=1)
     y_int = (observed_intensity * (is_y & fmask)).sum(axis=1)
-    features = features.at[:, 25].set(jnp.log1p(b_int))
-    features = features.at[:, 26].set(jnp.log1p(y_int))
-    features = features.at[:, 27].set(features[:, 25] - features[:, 26])
+    feat[25] = (jnp.log1p(b_int))
+    feat[26] = (jnp.log1p(y_int))
+    feat[27] = (feat[25] - feat[26])
 
     # ---- frame correlation features ----------------------------------
     profile_all = frame_profile.sum(axis=2)  # [B, KF, W]
@@ -460,8 +465,8 @@ def score_candidates_batch(
         )
         top3_corr = topk_mean_by(frame_corr, frag_intensity, fmask, 3)
 
-    features = features.at[:, 31].set(masked_mean(frame_corr, fmask))
-    features = features.at[:, 32].set(top3_corr)
+    feat[31] = (masked_mean(frame_corr, fmask))
+    feat[32] = (top3_corr)
 
     # template-fragment frame correlation per obs, importance-reduced
     tf_corr = pearson_rows_masked(
@@ -473,16 +478,16 @@ def score_candidates_batch(
     # weights are the NORMALIZED library intensities (reference
     # profile_features.py:84 dots with fragment_intensity_norm) — raw
     # intensities would scale the feature with the library's intensity sum
-    features = features.at[:, 33].set((tf_red * intensity_norm).sum(axis=1))
+    feat[33] = ((tf_red * intensity_norm).sum(axis=1))
 
-    features = features.at[:, 34].set(
+    feat[34] = (
         topk_mean_by(frame_corr, frag_intensity, fmask & is_b, 3)
     )
-    features = features.at[:, 35].set((fmask & is_b).sum(axis=1).astype(f32))
-    features = features.at[:, 36].set(
+    feat[35] = ((fmask & is_b).sum(axis=1).astype(f32))
+    feat[36] = (
         topk_mean_by(frame_corr, frag_intensity, fmask & is_y, 3)
     )
-    features = features.at[:, 37].set((fmask & is_y).sum(axis=1).astype(f32))
+    feat[37] = ((fmask & is_y).sum(axis=1).astype(f32))
 
     # ---- mobility scan features (4D path) -----------------------------
     # (reference: fragment_features.py:430-480 fragment_mobility_correlation,
@@ -541,7 +546,7 @@ def score_candidates_batch(
         # reference zeroes BOTH scan correlations below 3 valid fragments
         # (fragment_features.py:440-441)
         scan_ok = sc_mask.sum(axis=1) >= 3  # [B]
-        features = features.at[:, 29].set(
+        feat[29] = (
             jnp.where(scan_ok, masked_mean(scan_corr_list, sc_mask), 0.0)
         )
 
@@ -552,7 +557,7 @@ def score_candidates_batch(
             jnp.broadcast_to(smask[:, None, None, :], frag_scan.shape),
         )  # [B, KF, O2]
         t_red_s = (t_corr_s * obs_imp[:, None, :]).sum(-1)
-        features = features.at[:, 30].set(
+        feat[30] = (
             jnp.where(scan_ok, (t_red_s * w_scan).sum(-1), 0.0)
         )
 
@@ -564,7 +569,7 @@ def score_candidates_batch(
         )
         mf_red = (frac_s * mobility_width[:, None, None] * obs_imp[:, None, :]).sum(-1)
         # normalized-intensity weighting (reference profile_features.py:186)
-        features = features.at[:, 39].set((mf_red * intensity_norm).sum(-1))
+        feat[39] = ((mf_red * intensity_norm).sum(-1))
 
         # observed mobility: scan center of mass of the summed fragment
         # profile (bin units; the driver maps bins -> mobility values)
@@ -590,7 +595,7 @@ def score_candidates_batch(
     cycle_fwhm = frac_above * rt_width  # [B, KF, O2]
     fwhm_red = (cycle_fwhm * obs_imp[:, None, :]).sum(axis=-1)
     # normalized-intensity weighting (reference profile_features.py:144)
-    features = features.at[:, 38].set((fwhm_red * intensity_norm).sum(axis=1))
+    feat[38] = ((fwhm_red * intensity_norm).sum(axis=1))
 
     # ---- delta frame peak --------------------------------------------
     # reference (profile_features.py:193-204): argmax over the candidate's
@@ -607,7 +612,7 @@ def score_candidates_batch(
         (frame_start - cycle_start).astype(f32)
         + jnp.floor((frame_stop - frame_start).astype(f32) / 2.0)
     )  # [B] candidate midpoint in window coordinates
-    features = features.at[:, 40].set(
+    feat[40] = (
         ((med_peak - ext_center[:, None]) * obs_imp).sum(axis=-1)
     )
 
@@ -619,10 +624,10 @@ def score_candidates_batch(
         observed_dmz / jnp.maximum(frag_mz, 1e-6) * 1e6,
         -1e6,
     )
-    features = features.at[:, 41].set(
+    feat[41] = (
         topk_mean_by(mass_error, frag_intensity, fmask, 3)
     )
-    features = features.at[:, 42].set(masked_mean(mass_error, fmask))
+    feat[42] = (masked_mean(mass_error, fmask))
 
     # ---- overlapping b/y series --------------------------------------
     big = jnp.int32(10_000)
@@ -636,11 +641,11 @@ def score_candidates_batch(
     )
     overlapping = overlapping & has_b[:, None] & has_y[:, None]
     n_over = overlapping.sum(axis=1).astype(f32)
-    features = features.at[:, 43].set(n_over)
-    features = features.at[:, 44].set(
+    feat[43] = (n_over)
+    feat[44] = (
         jnp.where(n_over > 0, masked_mean(fragment_area_norm, overlapping), 0.0)
     )
-    features = features.at[:, 45].set(
+    feat[45] = (
         jnp.where(
             n_over > 0,
             masked_mean(mass_error, overlapping),
@@ -660,6 +665,13 @@ def score_candidates_batch(
         "obs_intensity": obs_raw_sum,
         "scan_com": scan_com,
     }
+    features = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(feat.get(i, 0.0), f32), (B,))
+            for i in range(NUM_FEATURES)
+        ],
+        axis=1,
+    )
     return features, valid, fragment_out
 
 

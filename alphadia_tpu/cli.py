@@ -25,22 +25,29 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "alphadia-tpu", description="TPU-native DIA search engine"
     )
-    p.add_argument("--version", action="store_true", help="print version and exit")
+    # flag set and aliases match the reference CLI (reference cli.py:38-124)
+    # so existing alphaDIA invocations work unchanged
+    p.add_argument("-v", "--version", action="store_true", help="print version and exit")
     p.add_argument("--check", action="store_true", help="print version string for GUI discovery")
-    p.add_argument("-o", "--output", help="output directory")
-    p.add_argument("-f", "--file", action="append", default=[], help="raw file path (repeatable)")
+    p.add_argument("-o", "--output", "--output-directory", dest="output", help="output directory")
+    p.add_argument("-f", "--file", "--raw-path", dest="file", action="append", default=[], help="raw file path (repeatable)")
     p.add_argument("-d", "--directory", action="append", default=[], help="directory of raw files (repeatable)")
-    p.add_argument("--regex", default=".*", help="regex filter for files from --directory")
-    p.add_argument("-l", "--library", help="spectral library path")
-    p.add_argument("--fasta", action="append", default=[], help="FASTA path (repeatable)")
-    p.add_argument("--config", help="YAML config file")
+    p.add_argument("-r", "--regex", default=".*", help="regex filter for files from --directory")
+    p.add_argument("-l", "--library", "--library-path", dest="library", help="spectral library path")
+    p.add_argument("--fasta", "--fasta-path", dest="fasta", action="append", default=[], help="FASTA path (repeatable)")
+    p.add_argument("-c", "--config", help="YAML config file")
     p.add_argument(
         "--config-dict",
         action="append",
         default=[],
         help="JSON config override (repeatable)",
     )
-    p.add_argument("--quant-dir", help="shared quant directory (distributed search)")
+    p.add_argument(
+        "--quant-dir",
+        "--quant-directory",
+        dest="quant_dir",
+        help="shared quant directory (distributed search)",
+    )
     p.add_argument(
         "--profile-dir",
         help="write a jax/XLA profiler trace per raw file into this directory",

@@ -121,3 +121,29 @@ def test_directory_scan_includes_bruker_d(tmp_path, monkeypatch):
     run(["-o", str(tmp_path / "out"), "-d", str(tmp_path), "--regex", r"\.(d|mzML)$"])
     names = [p.rsplit("/", 1)[-1] for p in captured["raw"]]
     assert names == ["run2.mzML", "sample1.d"] or names == ["sample1.d", "run2.mzML"]
+
+
+def test_reference_cli_aliases_parse():
+    """Every alphaDIA long/short alias must keep working (reference
+    cli.py:38-124) so existing invocations migrate unchanged."""
+    from alphadia_tpu.cli import _build_parser
+
+    a = _build_parser().parse_args(
+        [
+            "--output-directory", "/tmp/out",
+            "--raw-path", "a.mzML",
+            "--raw-path", "b.mzML",
+            "--library-path", "lib.tsv",
+            "--fasta-path", "db.fasta",
+            "--quant-directory", "/tmp/quant",
+            "-r", "run.*",
+            "-c", "cfg.yaml",
+        ]
+    )
+    assert a.output == "/tmp/out"
+    assert a.file == ["a.mzML", "b.mzML"]
+    assert a.library == "lib.tsv"
+    assert a.fasta == ["db.fasta"]
+    assert a.quant_dir == "/tmp/quant"
+    assert a.regex == "run.*"
+    assert a.config == "cfg.yaml"

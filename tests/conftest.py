@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys
+from pathlib import Path
+
+# the suite must run in a fresh checkout without `pip install -e .` —
+# fall back to the repo root when the package is not installed (find_spec
+# only probes; it cannot initialize a jax backend before the cpu pin below)
+import importlib.util
+
+if importlib.util.find_spec("alphadia_tpu") is None:
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -49,7 +49,7 @@ import os
 
 # tunables (env-overridable for perf sweeps; defaults = measured best)
 QT = int(os.environ.get("ALPHADIA_TPU_PALLAS_QT", 128))  # queries per grid step (output block lane width — must be 128k)
-DEPTH = int(os.environ.get("ALPHADIA_TPU_PALLAS_DEPTH", 32))  # rolling DMA prefetch window (r4 sweep: 32 edges 16 with skip-empty)
+DEPTH = int(os.environ.get("ALPHADIA_TPU_PALLAS_DEPTH", 32))  # rolling DMA prefetch window (r4 sweeps: 32 edges 16; 48/64 flat-to-worse — device scoring 0.1775/0.1781/0.1786 s at 32/48/64, issue-sequencing bound, not depth bound)
 # fail fast on sweep typos instead of an opaque Mosaic lane-tiling error
 if QT <= 0 or QT % 128 != 0:
     raise ValueError(f"QT must be a positive multiple of 128, got {QT}")

@@ -20,13 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 from pathlib import Path
 
-# the suite must run in a fresh checkout without `pip install -e .` —
-# fall back to the repo root when the package is not installed (find_spec
-# only probes; it cannot initialize a jax backend before the cpu pin below)
-import importlib.util
-
-if importlib.util.find_spec("alphadia_tpu") is None:
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+# the suite must run in a fresh checkout without `pip install -e .` AND must
+# always test THIS checkout: prepend the repo root unconditionally so a stale
+# pip-installed alphadia_tpu can never shadow HEAD (advisor r4)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax  # noqa: E402
 

@@ -910,3 +910,69 @@ def score_candidates_batch_sliced(
             pack_scoring_output(*out, with_quant=transport_quant)
         )
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bsz",
+        "pack_output",
+        "transport_quant",
+        "n_cycles",
+        "n_bins",
+        "n_scan_bins",
+        "slab",
+        "window_len",
+        "quant_window",
+        "quant_all",
+        "experimental_xic",
+        "use_pallas",
+        "compute_dtype",
+    ),
+)
+def score_candidates_batch_lib(
+    peak_mz, peak_intensity, peak_packed, peak_scanbin,
+    cell_start, cycle_rt,
+    # per-PRECURSOR library SoA [n_prec, ...] (wire-compact dtypes ok)
+    lib_frag_mz, lib_frag_valid, lib_frag_intensity, lib_frag_type,
+    lib_frag_position, lib_iso_mz, lib_iso_intensity,
+    lib_ms2_slot, lib_ms1_slot, lib_win_lo, lib_win_hi,
+    quad_sigma, quad_delta_mu,
+    # per-CANDIDATE geometry [n_cand_padded] (sliced by b0 on device)
+    rows_full, frame_center_full, frame_start_full, frame_stop_full,
+    scan_lo_full, scan_hi_full, mobility_width_full,
+    b0,  # i32 scalar batch offset
+    fragment_tol_ppm, precursor_tol_ppm,
+    *, bsz: int, pack_output: bool = True, transport_quant: bool = True,
+    **static_kw,
+):
+    """Library-indexed batch: the per-candidate upload is just (precursor
+    row, elution window geometry); the fragment/isotope/slot SoA lives on
+    device per PRECURSOR and is gathered here by row index. Candidates
+    duplicate precursors ~2-3x, so this cuts host->device bytes ~3x vs
+    shipping per-candidate copies, and moves the expansion gather onto
+    the device (reference keeps per-candidate containers host-side:
+    alphadia/search/scoring/scoring.py:171-234)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b0, bsz)  # noqa: E731
+    rows = sl(rows_full).astype(jnp.int32)
+    g = lambda a: jnp.take(a, rows, axis=0)  # noqa: E731
+    out = score_candidates_batch(
+        peak_mz, peak_intensity, peak_packed, peak_scanbin,
+        cell_start, cycle_rt,
+        g(lib_frag_mz), g(lib_frag_valid), g(lib_frag_intensity),
+        g(lib_frag_type), g(lib_frag_position), g(lib_iso_mz),
+        g(lib_iso_intensity), g(lib_ms2_slot), g(lib_ms1_slot),
+        g(lib_win_lo), g(lib_win_hi),
+        quad_sigma, quad_delta_mu,
+        sl(frame_center_full), sl(frame_start_full), sl(frame_stop_full),
+        sl(scan_lo_full), sl(scan_hi_full), sl(mobility_width_full),
+        fragment_tol_ppm, precursor_tol_ppm,
+        **static_kw,
+    )
+    if pack_output:
+        from alphadia_tpu.ops.packing import wire_encode_jnp
+
+        return wire_encode_jnp(
+            pack_scoring_output(*out, with_quant=transport_quant)
+        )
+    return out

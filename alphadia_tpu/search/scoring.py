@@ -18,8 +18,8 @@ import pandas as pd
 
 from alphadia_tpu.constants.settings import MASS_NEUTRON_AVG
 from alphadia_tpu.ops.scoring import (
+    score_candidates_batch_lib,
     score_candidates_batch_packed,
-    score_candidates_batch_sliced,
     unpack_scoring_output,
 )
 from alphadia_tpu.rawdata import DiaData
@@ -174,32 +174,37 @@ class CandidateScoring:
         self.precursor_mz_column = precursor_mz_column
         self.fragment_mz_column = fragment_mz_column
         self._residue_counts: dict | None = None
+        self._lib_arrays: dict | None = None
 
     # ------------------------------------------------------------------
-    def _candidate_arrays(self, cand: pd.DataFrame):
-        """Vectorized batch-array assembly for all candidates."""
+    def _library_arrays(self):
+        """Per-PRECURSOR scoring inputs (fragment top-k SoA, isotopes,
+        observation slots, quad windows) — everything that does not depend
+        on the candidate. Computed once per scoring instance over the
+        library rows and gathered BY ROW INDEX on device, so the tunnel
+        never ships per-candidate copies (candidates duplicate precursors
+        ~2-3x) and the host prep runs at library size, not candidate size.
+        """
+        if self._lib_arrays is not None:
+            return self._lib_arrays
         cfg = self.config
         dia = self.dia
         prec = self.precursor_df
         frag = self.fragment_df
 
-        row_of = pd.Series(
-            np.arange(len(prec)), index=prec["precursor_idx"].to_numpy()
-        )
-        rows = row_of.loc[cand["precursor_idx"].to_numpy()].to_numpy()
-
-        mono_mz = prec[self.precursor_mz_column].to_numpy(np.float32)[rows]
-        charge = prec["charge"].to_numpy(np.int32)[rows]
+        mono_mz = prec[self.precursor_mz_column].to_numpy(np.float32)
+        charge = prec["charge"].to_numpy(np.int32)
+        n = len(prec)
 
         KI = cfg.top_k_isotopes
         iso_cols = [c for c in (f"i_{k}" for k in range(KI)) if c in prec.columns]
         if iso_cols:
-            iso_int = prec[iso_cols].to_numpy(np.float32)[rows]
+            iso_int = prec[iso_cols].to_numpy(np.float32)
             if iso_int.shape[1] < KI:
                 iso_int = np.pad(iso_int, ((0, 0), (0, KI - iso_int.shape[1])))
         else:
             iso_int = np.tile(
-                np.array([[1.0, 0.5, 0.25]], np.float32)[:, :KI], (len(rows), 1)
+                np.array([[1.0, 0.5, 0.25]], np.float32)[:, :KI], (n, 1)
             )
         iso_mz = (
             mono_mz[:, None]
@@ -207,9 +212,9 @@ class CandidateScoring:
         ).astype(np.float32)
 
         # fragments: same selection semantics as CandidateSelection
-        starts = prec["flat_frag_start_idx"].to_numpy(np.int64)[rows]
-        stops = prec["flat_frag_stop_idx"].to_numpy(np.int64)[rows]
-        max_len = max(int((stops - starts).max()) if len(rows) else 1, cfg.top_k_fragments)
+        starts = prec["flat_frag_start_idx"].to_numpy(np.int64)
+        stops = prec["flat_frag_stop_idx"].to_numpy(np.int64)
+        max_len = max(int((stops - starts).max()) if n else 1, cfg.top_k_fragments)
         k_idx = starts[:, None] + np.arange(max_len)[None, :]
         in_range = k_idx < stops[:, None]
         k_idx = np.minimum(k_idx, max(len(frag) - 1, 0))
@@ -254,6 +259,30 @@ class CandidateScoring:
         ms2_slots, ms1_slots, win_lo, win_hi = assign_observation_slots(
             dia, mono_mz, iso_mz, cfg.max_ms2_obs, cfg.max_ms1_obs
         )
+        out.update(
+            {
+                "iso_mz": iso_mz,
+                "iso_intensity": iso_int.astype(np.float32),
+                "ms2_slot": ms2_slots.astype(np.int32),
+                "ms1_slot": ms1_slots.astype(np.int32),
+                "win_lo": win_lo,
+                "win_hi": win_hi,
+            }
+        )
+        self._lib_arrays = out
+        return out
+
+    def _candidate_geometry(self, cand: pd.DataFrame):
+        """Per-CANDIDATE arrays: the precursor row index plus the elution
+        window geometry selection emitted — ~18 bytes/candidate on the
+        wire vs ~150 for the full per-candidate expansion."""
+        dia = self.dia
+        prec = self.precursor_df
+
+        row_of = pd.Series(
+            np.arange(len(prec)), index=prec["precursor_idx"].to_numpy()
+        )
+        rows = row_of.loc[cand["precursor_idx"].to_numpy()].to_numpy()
 
         frame_center = cand["frame_center"].to_numpy(np.int64).astype(np.int32)
         frame_start = cand["frame_start"].to_numpy(np.int64).astype(np.int32)
@@ -281,24 +310,26 @@ class CandidateScoring:
             scan_hi = np.ones(n, np.int32)
             mobility_width = np.zeros(n, np.float32)
 
-        out.update(
-            {
-                "rows": rows,
-                "iso_mz": iso_mz,
-                "iso_intensity": iso_int,
-                "ms2_slot": ms2_slots.astype(np.int32),
-                "ms1_slot": ms1_slots.astype(np.int32),
-                "win_lo": win_lo,
-                "win_hi": win_hi,
-                "frame_center": frame_center,
-                "frame_start": frame_start,
-                "frame_stop": frame_stop,
-                "scan_lo": scan_lo,
-                "scan_hi": scan_hi,
-                "mobility_width": mobility_width,
-                "window_len": W,
-            }
-        )
+        return {
+            "rows": rows.astype(np.int32),
+            "frame_center": frame_center,
+            "frame_start": frame_start,
+            "frame_stop": frame_stop,
+            "scan_lo": scan_lo,
+            "scan_hi": scan_hi,
+            "mobility_width": mobility_width,
+            "window_len": W,
+        }
+
+    def _candidate_arrays(self, cand: pd.DataFrame):
+        """Per-candidate expansion (library arrays gathered by row on
+        host) — only the mesh path uploads this layout; the single-device
+        path ships the library SoA + geometry and gathers on device."""
+        lib = self._library_arrays()
+        geo = self._candidate_geometry(cand)
+        rows = geo["rows"]
+        out = {k: v[rows] for k, v in lib.items()}
+        out.update(geo)
         return out
 
     # ------------------------------------------------------------------
@@ -315,11 +346,27 @@ class CandidateScoring:
         if len(cand) == 0:
             return _empty_psm_df(), _empty_fragment_df()
 
+        # wall-time budget of this call, by segment (seconds); read via
+        # self.last_trace after the call — the measured basis for the
+        # docs/architecture.md transfer-economics numbers
+        trace = {
+            "prep": 0.0, "wire": 0.0, "submit": 0.0,
+            "transfer_wait": 0.0, "decode": 0.0, "df_build": 0.0,
+        }
+        _t = time.perf_counter()
+
         enable_compilation_cache()
-        arrays = self._candidate_arrays(cand)
-        W = arrays["window_len"]
-        dev = dia.device_arrays()
         mesh = self._mesh()
+        lib = self._library_arrays()
+        geo = self._candidate_geometry(cand)
+        arrays = None
+        if mesh is not None:
+            # mesh path ships per-candidate copies (library gather on host)
+            arrays = {k: v[geo["rows"]] for k, v in lib.items()}
+            arrays.update(geo)
+        trace["prep"] = time.perf_counter() - _t
+        W = geo["window_len"]
+        dev = dia.device_arrays()
         static_kw = dict(
             n_cycles=dia.n_cycles,
             n_bins=dia.n_bins,
@@ -353,9 +400,8 @@ class CandidateScoring:
         else:
             schedule = [(b0, Bsz) for b0 in range(0, n, Bsz)]
 
-        # upload all per-candidate arrays once (padded to cover the last
-        # batch); batches are device-side slices — no per-batch
-        # host->device copies
+        # upload geometry/arrays once (padded to cover the last batch);
+        # batches are device-side slices — no per-batch host->device copies
         n_padded = max(b0 + bsz for b0, bsz in schedule)
         import jax as _jax
 
@@ -365,40 +411,53 @@ class CandidateScoring:
             "ms1_slot", "win_lo", "win_hi", "frame_center", "frame_start",
             "frame_stop", "scan_lo", "scan_hi", "mobility_width",
         )
+        _LIB_KEYS = (
+            "frag_mz", "frag_valid", "frag_intensity", "frag_type",
+            "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
+            "ms1_slot", "win_lo", "win_hi",
+        )
+        _GEO_KEYS = (
+            "rows", "frame_center", "frame_start", "frame_stop",
+            "scan_lo", "scan_hi", "mobility_width",
+        )
 
         from alphadia_tpu.ops.packing import compact_wire
 
-        def _full(key, a):
+        def _padded(a):
             if n_padded > n:
                 a = np.concatenate(
                     [a, np.repeat(a[-1:], n_padded - n, axis=0)], axis=0
                 )
-            # compact wire dtypes (f16/u8/i16/bit-packed validity) halve
-            # upload bytes through the tunnel; the kernel decodes
-            a = compact_wire(key, a)
-            # slicing a mesh-sharded array crashes/reshards; with a mesh the
-            # per-batch device_put below handles placement instead
-            if mesh is not None:
-                return a
-            return _jax.device_put(a)
+            return a
 
-        # chunked-upload path (non-mesh production): upload each batch's
-        # slice separately — jax.device_put is async, so batch N+1's
-        # host->device copy rides the tunnel WHILE batch N computes and
-        # batch N-1's packed download streams back (full-duplex). A single
-        # whole-array upload would serialize ~all upload bytes before the
-        # first dispatch. The device-time bench and the mesh path keep the
-        # staged whole-array layout.
-        chunked = mesh is None and not cfg.bench_device_time
-        if chunked:
-            wire_host = {k: compact_wire(k, arrays[k]) for k in _BATCH_KEYS}
+        # library-indexed uploads (non-mesh production + device-time
+        # bench): the per-precursor SoA and the per-candidate geometry go
+        # up ONCE in compact wire dtypes (f16/u8/i16/bit-packed validity —
+        # the kernel decodes); per-batch inputs are device-side slices +
+        # a device-side row gather. device_put is async, so the upload
+        # rides the tunnel while the first dispatch compiles its args and
+        # the downloads of early batches stream back full-duplex.
+        _t = time.perf_counter()
+        if mesh is None:
+            lib_dev = {
+                k: _jax.device_put(compact_wire(k, lib[k])) for k in _LIB_KEYS
+            }
+            geo_dev = {
+                k: _jax.device_put(compact_wire(k, _padded(geo[k])))
+                for k in _GEO_KEYS
+            }
             batch_dev = None
         else:
-            batch_dev = {k: _full(k, arrays[k]) for k in _BATCH_KEYS}
+            # mesh path: per-candidate arrays, per-batch placement below
+            batch_dev = {
+                k: compact_wire(k, _padded(arrays[k])) for k in _BATCH_KEYS
+            }
+        trace["wire"] = time.perf_counter() - _t
 
         if cfg.bench_device_time:
             # stage ALL inputs before starting the clock
-            _jax.block_until_ready(list(batch_dev.values()))
+            _jax.block_until_ready(list(lib_dev.values()))
+            _jax.block_until_ready(list(geo_dev.values()))
             _jax.block_until_ready(list(dev.values()))
             _t_device0 = time.perf_counter()
 
@@ -406,56 +465,23 @@ class CandidateScoring:
         qd = np.asarray(cfg.quad_delta_mu, np.float32)
         ftol = np.float32(cfg.fragment_mz_tolerance)
         ptol = np.float32(cfg.precursor_mz_tolerance)
+        _t = time.perf_counter()
         pending = []  # device results collected after all batches are submitted
         for b0, bsz in schedule:
             b1 = min(b0 + bsz, n)
             pad = bsz - (b1 - b0)
 
-            if chunked:
-                def _chunk(key):
-                    a = wire_host[key][b0:b1]
-                    if pad:
-                        a = np.concatenate(
-                            [a, np.repeat(a[-1:], pad, axis=0)], axis=0
-                        )
-                    return _jax.device_put(a)
-
-                packed = score_candidates_batch_packed(
+            if mesh is None:
+                # single dispatch per batch: geometry sliced and library
+                # rows gathered on device; packed byte-plane output =
+                # single device->host download per batch
+                packed = score_candidates_batch_lib(
                     dev["peak_mz"], dev["peak_intensity"],
                     dev["peak_packed"], dev["peak_scanbin"],
                     dev["cell_start"], dev["cycle_rt"],
-                    _chunk("frag_mz"), _chunk("frag_valid"),
-                    _chunk("frag_intensity"), _chunk("frag_type"),
-                    _chunk("frag_position"), _chunk("iso_mz"),
-                    _chunk("iso_intensity"), _chunk("ms2_slot"),
-                    _chunk("ms1_slot"), _chunk("win_lo"),
-                    _chunk("win_hi"), qs, qd,
-                    _chunk("frame_center"), _chunk("frame_start"),
-                    _chunk("frame_stop"), _chunk("scan_lo"),
-                    _chunk("scan_hi"), _chunk("mobility_width"),
-                    ftol, ptol,
-                    transport_quant=cfg.transport_quant,
-                    **static_kw,
-                )
-                pending.append((bsz - pad, b0, packed))
-                continue
-
-            if mesh is None:
-                # single dispatch per batch: slice-on-device inside the jit;
-                # packed output = single device->host download per batch
-                packed = score_candidates_batch_sliced(
-                    dev["peak_mz"], dev["peak_intensity"], dev["peak_packed"],
-                    dev["peak_scanbin"],
-                    dev["cell_start"], dev["cycle_rt"],
-                    batch_dev["frag_mz"], batch_dev["frag_valid"],
-                    batch_dev["frag_intensity"], batch_dev["frag_type"],
-                    batch_dev["frag_position"], batch_dev["iso_mz"],
-                    batch_dev["iso_intensity"], batch_dev["ms2_slot"],
-                    batch_dev["ms1_slot"], batch_dev["win_lo"],
-                    batch_dev["win_hi"], qs, qd,
-                    batch_dev["frame_center"], batch_dev["frame_start"],
-                    batch_dev["frame_stop"], batch_dev["scan_lo"],
-                    batch_dev["scan_hi"], batch_dev["mobility_width"],
+                    *(lib_dev[k] for k in _LIB_KEYS),
+                    qs, qd,
+                    *(geo_dev[k] for k in _GEO_KEYS),
                     np.int32(b0), ftol, ptol, bsz=bsz, pack_output=True,
                     transport_quant=cfg.transport_quant,
                     **static_kw,
@@ -509,6 +535,8 @@ class CandidateScoring:
             )
             return _empty_psm_df(), _empty_fragment_df()
 
+        trace["submit"] = time.perf_counter() - _t
+
         # pipeline the downloads: start every device->host copy now so the
         # tunnel transfer of batch N+1 overlaps the host decode of batch N
         prefetch_to_host([p for _, _, p in pending])
@@ -517,7 +545,10 @@ class CandidateScoring:
 
         KF = cfg.top_k_fragments
         for take, b0, packed in pending:
+            _t = time.perf_counter()
             buf = np.asarray(packed)
+            trace["transfer_wait"] += time.perf_counter() - _t
+            _t = time.perf_counter()
             # both the mesh and non-mesh paths ship byte planes (the
             # compressible wire format); the dtype gate only guards the
             # pack_output=False debug path, whose buffers are u16
@@ -526,12 +557,12 @@ class CandidateScoring:
             features, valid, frag_out = unpack_scoring_output(
                 buf[:take],
                 KF,
-                arrays["ms2_slot"].shape[1],
+                lib["ms2_slot"].shape[1],
                 with_quant=cfg.transport_quant,
             )
             # mz_observed reconstructed exactly from mass_error (ppm, f16:
             # resolution ~0.01 ppm) and the queried library m/z
-            fmz = arrays["frag_mz"][b0 : b0 + take]
+            fmz = lib["frag_mz"][geo["rows"][b0 : b0 + take]]
             frag_out["mz_observed"] = np.where(
                 frag_out["valid"] & (frag_out["height"] > 0),
                 fmz * (1.0 + frag_out["mass_error"] * 1e-6),
@@ -541,50 +572,56 @@ class CandidateScoring:
             valid_rows.append(valid)
             for k in frag_out_rows:
                 frag_out_rows[k].append(frag_out[k][:take])
+            trace["decode"] += time.perf_counter() - _t
 
+        _t = time.perf_counter()
         features = np.concatenate(feat_rows)
         valid = np.concatenate(valid_rows)
         frag_out = {k: np.concatenate(v) for k, v in frag_out_rows.items()}
 
-        # build all columns as numpy first and construct the frame ONCE
-        # (incremental pandas inserts cost a block-manager reallocation
-        # each — profiled at ~0.08 s/run on the hot path)
+        # filter to valid candidates FIRST (typically ~25% of the batch
+        # rows survive), then build all columns as numpy and construct the
+        # frame ONCE — filtering a built 80-column frame and incremental
+        # pandas inserts both cost block-manager reallocations (profiled
+        # ~0.08 s/run on the hot path before this layout)
+        keep_rows = np.nonzero(valid)[0]
+        rows = geo["rows"][keep_rows]  # library row per surviving candidate
         data: dict = {
-            name: features[:, j] for j, name in enumerate(FEATURE_COLUMNS)
+            name: features[keep_rows, j]
+            for j, name in enumerate(FEATURE_COLUMNS)
         }
         # raw per-quad-window fragment sums + window bounds: the training
         # data for per-run quadrupole fitting (search/quadrupole.py)
         for o in range(frag_out["obs_intensity"].shape[1]):
-            data[f"obs_intensity_{o}"] = frag_out["obs_intensity"][:, o]
-            data[f"obs_win_lo_{o}"] = arrays["win_lo"][:, o]
-            data[f"obs_win_hi_{o}"] = arrays["win_hi"][:, o]
+            data[f"obs_intensity_{o}"] = frag_out["obs_intensity"][keep_rows, o]
+            data[f"obs_win_lo_{o}"] = lib["win_lo"][rows, o]
+            data[f"obs_win_hi_{o}"] = lib["win_hi"][rows, o]
         if self.dia.has_mobility and self.dia.n_scan_bins > 1:
             # kernel scan center of mass (bin units) -> mobility values;
             # mobility_fwhm (feature 39) is already computed in-kernel
             S = self.dia.n_scan_bins
             span = self.dia.mobility_max - self.dia.mobility_min
-            com = frag_out["scan_com"]
+            com = frag_out["scan_com"][keep_rows]
             data["mobility_observed"] = np.where(
                 com > 0, self.dia.mobility_min + com / S * span, 0.0
             ).astype(np.float32)
             # base_width_mobility (feature 0): candidate scan extent
             # (reference location_features.py:19-22)
-            data["base_width_mobility"] = arrays["mobility_width"]
-        data["precursor_idx"] = cand["precursor_idx"].to_numpy()
-        data["rank"] = cand["rank"].to_numpy()
+            data["base_width_mobility"] = geo["mobility_width"][keep_rows]
+        data["precursor_idx"] = cand["precursor_idx"].to_numpy()[keep_rows]
+        data["rank"] = cand["rank"].to_numpy()[keep_rows]
         data["score"] = (
-            cand["score"].to_numpy()
+            cand["score"].to_numpy()[keep_rows]
             if "score" in cand.columns
-            else np.zeros(len(cand), np.float32)
+            else np.zeros(len(keep_rows), np.float32)
         )
         for col in ("scan_center", "scan_start", "scan_stop", "frame_center", "frame_start", "frame_stop"):
             if col in cand.columns:
-                data[col] = cand[col].to_numpy()
+                data[col] = cand[col].to_numpy()[keep_rows]
 
         # merge precursor metadata
         prec = self.precursor_df
         carry = [c for c in PRECURSOR_CARRY_COLUMNS if c in prec.columns]
-        rows = arrays["rows"]
         for c in carry:
             data[c] = prec[c].to_numpy()[rows]
 
@@ -603,20 +640,20 @@ class CandidateScoring:
                 data[f"n_{aa}"] = counts[rows]
 
         psm_df = pd.DataFrame(data)
-        psm_df = psm_df[valid].reset_index(drop=True)
 
         # fragment output frame
         fragment_df = _empty_fragment_df()
         if cfg.collect_fragments:
-            keep_rows = np.nonzero(valid)[0]
-            obs_mask = frag_out["valid"] & arrays["frag_valid"]
+            cand_frag_valid = lib["frag_valid"][geo["rows"]]
+            obs_mask = frag_out["valid"] & cand_frag_valid
             fv = (
-                arrays["frag_valid"]
+                cand_frag_valid
                 if cfg.collect_unobserved_fragments
                 else obs_mask
             )[keep_rows]
             rr, cc = np.nonzero(fv)
             sel = (keep_rows[rr], cc)
+            lib_sel = (geo["rows"][sel[0]], sel[1])
             obs_sel = obs_mask[sel]
 
             def observed(a):
@@ -627,20 +664,23 @@ class CandidateScoring:
                 {
                     "precursor_idx": cand["precursor_idx"].to_numpy()[keep_rows][rr],
                     "rank": cand["rank"].to_numpy()[keep_rows][rr],
-                    "mz_library": arrays["frag_mz_library"][sel],
-                    "mz": arrays["frag_mz"][sel],
+                    "mz_library": lib["frag_mz_library"][lib_sel],
+                    "mz": lib["frag_mz"][lib_sel],
                     "mz_observed": observed(frag_out["mz_observed"]),
                     "height": observed(frag_out["height"]),
                     "intensity": observed(frag_out["intensity"]),
                     "mass_error": observed(frag_out["mass_error"]),
                     "correlation": observed(frag_out["correlation"]),
-                    "position": arrays["frag_position"][sel].astype(np.uint8),
-                    "number": arrays["frag_number"][sel].astype(np.uint8),
-                    "type": arrays["frag_type"][sel].astype(np.uint8),
-                    "charge": arrays["frag_charge"][sel].astype(np.uint8),
-                    "loss_type": arrays["frag_loss_type"][sel].astype(np.uint8),
+                    "position": lib["frag_position"][lib_sel].astype(np.uint8),
+                    "number": lib["frag_number"][lib_sel].astype(np.uint8),
+                    "type": lib["frag_type"][lib_sel].astype(np.uint8),
+                    "charge": lib["frag_charge"][lib_sel].astype(np.uint8),
+                    "loss_type": lib["frag_loss_type"][lib_sel].astype(np.uint8),
                 }
             )
+
+        trace["df_build"] = time.perf_counter() - _t
+        self.last_trace = trace
 
         logger.info(
             f"Candidate scoring: {valid.sum()}/{n} candidates scored "

@@ -212,8 +212,16 @@ class CandidateSelection:
         if n == 0:
             return _empty_candidates_df()
 
+        # wall-time budget by segment; read via self.last_trace (same
+        # contract as CandidateScoring.last_trace)
+        trace = {
+            "prep": 0.0, "wire": 0.0, "submit": 0.0,
+            "transfer_wait": 0.0, "decode": 0.0,
+        }
+        _t = time.perf_counter()
         enable_compilation_cache()
         arrays = self._prepare_batch_arrays()
+        trace["prep"] = time.perf_counter() - _t
         W = arrays["window_len"]
 
         # wide-window coarsening: pre-calibration RT tolerances produce
@@ -344,6 +352,7 @@ class CandidateSelection:
                 return a
             return _jax.device_put(a)
 
+        _t = time.perf_counter()
         batch_dev = {
             "frag_slot": _full("frag_slot", arrays["frag_slot"]),
             "frag_mz": _full("frag_mz", arrays["frag_mz"]),
@@ -355,6 +364,7 @@ class CandidateSelection:
                 "n_valid_fragments", arrays["n_valid_fragments"], zero_tail=True
             ),
         }
+        trace["wire"] = time.perf_counter() - _t
 
         if cfg.bench_device_time:
             # stage ALL inputs before starting the clock
@@ -373,6 +383,7 @@ class CandidateSelection:
             and (not use_4d or dia.n_scan_bins < 32000)
             else "u32"
         )
+        _t = time.perf_counter()
         pending = []  # (b0, bsz, pad, device results) — collect after all submits
         for b0, bsz in schedule:
             b1 = min(b0 + bsz, n)
@@ -456,6 +467,8 @@ class CandidateSelection:
             self.last_device_seconds = time.perf_counter() - _t_device0
             return _empty_candidates_df()
 
+        trace["submit"] = time.perf_counter() - _t
+
         # pipeline the downloads: start every device->host copy now so the
         # tunnel transfer of batch N+1 overlaps the host decode of batch N
         prefetch_to_host([p[-1] for p in pending])
@@ -472,8 +485,11 @@ class CandidateSelection:
                 scan_stop=("int32", K),
             )
         for b0, bsz, pad, result in pending:
+            _t = time.perf_counter()
             if isinstance(result, dict):  # mesh path (unpacked)
                 result = {k: np.asarray(v) for k, v in result.items()}
+                trace["transfer_wait"] += time.perf_counter() - _t
+                _t = time.perf_counter()
             else:  # packed single-download buffer (byte-plane wire format)
                 from alphadia_tpu.ops.packing import (
                     unpack_sel_u16,
@@ -481,8 +497,11 @@ class CandidateSelection:
                     wire_decode_np,
                 )
 
+                raw = np.asarray(result)
+                trace["transfer_wait"] += time.perf_counter() - _t
+                _t = time.perf_counter()
                 buf = wire_decode_np(
-                    np.asarray(result),
+                    raw,
                     np.uint16 if pack_mode == "u16" else np.uint32,
                 )
                 result = (
@@ -526,8 +545,10 @@ class CandidateSelection:
                     }
                 )
             )
+            trace["decode"] += time.perf_counter() - _t
 
         candidates = pd.concat(out_frames, ignore_index=True)
+        self.last_trace = trace
         logger.info(
             f"Candidate selection: {len(candidates)} candidates for {n} precursors "
             f"(window {W} cycles)"

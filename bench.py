@@ -103,13 +103,14 @@ def measure(
     cdt = "float32" if jax.default_backend() == "cpu" else "bfloat16"
 
     # batch caps: the drivers split these into a greedy pow2 schedule.
-    # Round-3 sweep with chunked async uploads (scoring driver): 4096
-    # wins for scoring — batch N+1's upload and batch N-1's download ride
-    # the full-duplex tunnel while batch N computes; one 16384 batch
-    # serializes all upload bytes before the first dispatch. Selection
-    # uploads are tiny (~0.6 MB), so its batch size is insensitive.
+    # Round-5 sweep with the library-indexed scoring uploads (per-batch
+    # host->device traffic is just a b0 scalar now): 8192 wins for
+    # scoring (0.332 s vs 0.362 @4096 / 0.395 @16384 wall on the same
+    # candidates) — fewer dispatch round trips, while downloads of early
+    # batches still overlap later batches' compute. Selection uploads are
+    # tiny (~0.6 MB), so its batch size is insensitive.
     sel_batch = batch_size or 16384
-    score_batch = batch_size or 4096
+    score_batch = batch_size or 8192
 
     def _sel(p, device_time=False):
         return CandidateSelection(
@@ -145,11 +146,17 @@ def measure(
     for _ in range(n_warmup):
         run_once(jittered())
 
+    # each timing pass is measured SEPARATELY: the headline reports the
+    # median with min/max/n so a single tunnel hiccup can neither inflate
+    # nor sink the round's number (r4 spread across identical code was
+    # 14.9k-23.4k prec/s)
     phases: dict = {}
-    t0 = time.time()
+    pass_rates = []
     for _ in range(n_runs):
+        t0 = time.time()
         run_once(jittered(), phases)
-    dt = (time.time() - t0) / n_runs
+        pass_rates.append(len(prec) / (time.time() - t0))
+    dt = len(prec) / float(np.median(pass_rates))
     phases = {k: round(v / n_runs, 3) for k, v in phases.items()}
 
     device = {}
@@ -172,7 +179,13 @@ def measure(
                 best.get("scoring", 1e9), score_dev.last_device_seconds
             )
         device = {k: round(v, 4) for k, v in best.items()}
-    return len(prec) / dt, phases, device
+    spread = {
+        "median": round(float(np.median(pass_rates)), 1),
+        "min": round(float(np.min(pass_rates)), 1),
+        "max": round(float(np.max(pass_rates)), 1),
+        "n": len(pass_rates),
+    }
+    return len(prec) / dt, phases, device, spread
 
 
 # TPU v5e peak: ~197 TFLOP/s bf16, ~98 f32 (per chip), ~819 GB/s HBM.
@@ -307,7 +320,7 @@ def _measure_large():
         for v in dia.device_arrays().values()
         if hasattr(v, "nbytes")
     )
-    rate, phases, _ = measure(
+    rate, phases, _, _ = measure(
         workload=(dia, prec, frag), n_runs=1, n_warmup=1, with_device_time=False
     )
     return {
@@ -323,7 +336,147 @@ def _measure_large():
     }
 
 
+def _pipeline_child() -> None:
+    """Child-process body for the whole-pipeline benchmark: run the
+    production CLI path (SearchStep -> workflow: optimization/calibration
+    loop, extraction, FDR, calibration, quant, LFQ outputs) on the
+    device backend over a synthetic 2-file study at predicted-library
+    scale, counting XLA compiles. Prints one JSON line.
+
+    This is the other half of the BASELINE.md metric pair (wall-clock
+    per raw file) and the only probe that can see loop-driven recompiles
+    and host ping-pong that the kernel bench structurally cannot; it is
+    the analog of the reference's whole-run perf fixture
+    (tests/e2e_tests/e2e_test_cases.yaml `basic`)."""
+    import logging
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import pandas as pd
+
+    n_peptides = int(os.environ.get("ADT_PIPE_PEPTIDES", 25000))
+    n_cycles = int(os.environ.get("ADT_PIPE_CYCLES", 1500))
+
+    # count XLA compiles (the iterative optimization loop is where
+    # data-dependent shapes would recompile; window bucketing + the pow2
+    # batch schedule are supposed to bound this)
+    compiles = {"n": 0}
+
+    class _CompileCounter(logging.Handler):
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                compiles["n"] += 1
+
+    jax.config.update("jax_log_compiles", True)
+    handler = _CompileCounter()
+    logging.getLogger("jax").addHandler(handler)
+    logging.getLogger("jax._src.interpreters.pxla").addHandler(handler)
+
+    from alphadia_tpu.cli import run as cli_run
+    from alphadia_tpu.library.speclib import SpecLibFlat
+    from alphadia_tpu.rawdata.source import save_npz
+    from alphadia_tpu.testing.synthetic import (
+        SyntheticConfig,
+        add_synthetic_decoys,
+        make_synthetic_dia,
+    )
+    from alphadia_tpu.utils.device import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        raw_paths = []
+        prec = frag = None
+        # same peptide world, two acquisitions (noise/RT-shift/intensity)
+        for i, (acq, factor, shift) in enumerate([(301, 1.0, 0.0), (302, 1.4, 5.0)]):
+            spectra, p, f = make_synthetic_dia(
+                SyntheticConfig(
+                    n_peptides=n_peptides,
+                    n_windows=24,
+                    n_cycles=n_cycles,
+                    noise_peaks_per_spectrum=60,
+                    seed=17,
+                    acq_seed=acq,
+                    run_intensity_factor=factor,
+                    run_rt_shift=shift,
+                )
+            )
+            if prec is None:
+                prec, frag = p, f
+            path = tmp / f"run_{i}.npz"
+            save_npz(path, spectra)
+            raw_paths.append(str(path))
+        prec, frag = add_synthetic_decoys(prec, frag)
+        lib_path = tmp / "library.hdf"
+        drop = [c for c in ("_truth_detectable", "_truth_rt") if c in prec.columns]
+        SpecLibFlat(prec.drop(columns=drop), frag).save_hdf(lib_path)
+
+        out_dir = tmp / "out"
+        overrides = {"general": {"random_state": 1, "save_figures": False}}
+        t0 = time.time()
+        cli_run(
+            [
+                "-o", str(out_dir),
+                *[x for rp in raw_paths for x in ("-f", rp)],
+                "-l", str(lib_path),
+                "--config-dict", json.dumps(overrides),
+            ]
+        )
+        wall = time.time() - t0
+
+        stat = pd.read_csv(out_dir / "stat.tsv", sep="\t")
+        internal = pd.read_csv(out_dir / "internal.tsv", sep="\t")
+        phase_cols = [c for c in internal.columns if c.startswith("duration_")]
+        per_file = [
+            {c.removeprefix("duration_"): round(float(row[c]), 2) for c in phase_cols}
+            for _, row in internal.iterrows()
+        ]
+        walls = [sum(p.values()) for p in per_file]
+        print(json.dumps({
+            "n_files": len(raw_paths),
+            "n_precursors_library": int(len(prec)),
+            "n_cycles": n_cycles,
+            "wall_s_total": round(wall, 1),
+            # file 0 pays any residual compiles; file 1 is the
+            # steady-state per-file cost of a multi-file study
+            "wall_s_per_file": [round(w, 1) for w in walls],
+            "phases_s_per_file": per_file,
+            "ids_at_1pct_fdr": [int(x) for x in stat["precursors"]],
+            "xla_compiles": compiles["n"],
+            "backend": jax.default_backend(),
+        }))
+
+
+def _measure_pipeline(timeout_s: float = 2100.0) -> dict:
+    """Run the whole-pipeline benchmark in a subprocess (hard timeout so a
+    tunnel stall cannot eat the round's capture window)."""
+    env = dict(os.environ)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-child"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {
+            "error": f"no JSON from child (rc={proc.returncode}): "
+            + proc.stderr.strip()[-300:]
+        }
+    except subprocess.TimeoutExpired:
+        return {"error": f"pipeline child exceeded {timeout_s}s"}
+    except Exception as exc:
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
 def main() -> None:
+    if "--pipeline-child" in sys.argv:
+        _pipeline_child()
+        return
+
     if "--cpu-baseline" in sys.argv:
         import jax
 
@@ -331,7 +484,7 @@ def main() -> None:
         # SAME workload as the TPU measurement (6000 peptides, 600 cycles);
         # the CPU keeps its own best batch size (1024 — smaller batches are
         # cache-friendlier on 4 cores; measured best in the round-2 sweep)
-        rate, _, _ = measure(
+        rate, _, _, _ = measure(
             n_peptides=6000, n_cycles=600, batch_size=1024,
             n_warmup=1, with_device_time=False,
         )
@@ -343,7 +496,7 @@ def main() -> None:
         return
 
     try:
-        rate, phases, device = measure()
+        rate, phases, device, spread = measure()
     except Exception as exc:
         _emit_failure(f"{type(exc).__name__}: {exc}", _cpu_baseline_rate())
         return
@@ -357,6 +510,10 @@ def main() -> None:
         except Exception as exc:  # never lose the headline number
             large = {"error": f"{type(exc).__name__}: {exc}"}
 
+    pipeline = None
+    if "--skip-pipeline" not in sys.argv:
+        pipeline = _measure_pipeline()
+
     vs_baseline = rate / baseline_rate if baseline_rate else 0.0
     # ~2.2 candidates scored per library precursor in this workload
     n_cands = int(12000 * 2.2)
@@ -364,6 +521,8 @@ def main() -> None:
         "metric": "precursors_scored_per_s",
         "value": round(rate, 1),
         "unit": "prec/s",
+        # per-pass dispersion of the headline (median-of-n is `value`)
+        "spread": spread,
         "vs_baseline": round(vs_baseline, 2),
         "baseline_note": "same workload (6000 peptides/600 cycles), CPU at its own best batch",
         "phases_s": phases,
@@ -377,6 +536,8 @@ def main() -> None:
     }
     if large is not None:
         out["large"] = large
+    if pipeline is not None:
+        out["pipeline"] = pipeline
     print(json.dumps(out))
 
 

@@ -45,7 +45,18 @@ def _one_bin(
     # per-cycle boundaries within this (slot, bin) row: [B, Q, W+1]
     w_idx = jnp.arange(W + 1, dtype=jnp.int32)
     cyc = jnp.clip(c0[:, :, None] + w_idx[None, None, :], 0, n_cycles)
-    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
+    # NOTE: a flat jnp.take with mode='clip' instead of fancy
+    # cs_flat[row, cyc] indexing: indices are in-bounds by
+    # construction, and the default OOB-fill gather lowering
+    # miscompiles on XLA:CPU at some shapes (observed jax 0.9.0,
+    # W=128/B>=4 on a 25-slot store: every element came back as
+    # the int32 fill value -2^23, zeroing all XICs; eager mode and
+    # clip-mode gathers are correct)
+    r = jnp.take(
+        cs_flat.reshape(-1),
+        row[:, :, None] * (cs_flat.shape[1]) + cyc,
+        mode="clip",
+    )  # [B, Q, W+1]
 
     slab_start = r[:, :, 0]  # [B, Q]
     rel = jnp.clip(r - slab_start[:, :, None], 0, slab)  # [B, Q, W+1]
@@ -53,8 +64,8 @@ def _one_bin(
 
     k = jnp.arange(slab, dtype=jnp.int32)
     g_idx = jnp.clip(slab_start[:, :, None] + k, 0, peak_mz.shape[0] - 1)
-    g_mz = peak_mz[g_idx]  # [B, Q, slab]
-    g_int = peak_intensity[g_idx]
+    g_mz = jnp.take(peak_mz, g_idx, mode="clip")  # [B, Q, slab]
+    g_int = jnp.take(peak_intensity, g_idx, mode="clip")
 
     vmask = (
         (k[None, None, :] < slab_len[:, :, None])
@@ -63,7 +74,7 @@ def _one_bin(
         & valid[:, :, None]
     )
     if peak_scanbin is not None:
-        g_scan = peak_scanbin[g_idx]
+        g_scan = jnp.take(peak_scanbin, g_idx, mode="clip")
         vmask = (
             vmask
             & (g_scan >= s_lo[:, :, None])
@@ -231,16 +242,27 @@ def extract_xic_4d(
 
     w_idx = jnp.arange(W + 1, dtype=jnp.int32)
     cyc = jnp.clip(cycle_start[:, None, None] + w_idx[None, None, :], 0, n_cycles)
-    r = cs_flat[row[:, :, None], cyc]  # [B, Q, W+1]
+    # NOTE: a flat jnp.take with mode='clip' instead of fancy
+    # cs_flat[row, cyc] indexing: indices are in-bounds by
+    # construction, and the default OOB-fill gather lowering
+    # miscompiles on XLA:CPU at some shapes (observed jax 0.9.0,
+    # W=128/B>=4 on a 25-slot store: every element came back as
+    # the int32 fill value -2^23, zeroing all XICs; eager mode and
+    # clip-mode gathers are correct)
+    r = jnp.take(
+        cs_flat.reshape(-1),
+        row[:, :, None] * (cs_flat.shape[1]) + cyc,
+        mode="clip",
+    )  # [B, Q, W+1]
     slab_start = r[:, :, 0]
     rel = jnp.clip(r - slab_start[:, :, None], 0, slab)  # [B, Q, W+1]
     slab_len = rel[:, :, -1]
 
     k = jnp.arange(slab, dtype=jnp.int32)
     g_idx = jnp.clip(slab_start[:, :, None] + k, 0, peak_mz.shape[0] - 1)
-    g_mz = peak_mz[g_idx]  # [B, Q, K]
-    g_int = peak_intensity[g_idx]
-    g_sb = peak_scanbin[g_idx]
+    g_mz = jnp.take(peak_mz, g_idx, mode="clip")  # [B, Q, K]
+    g_int = jnp.take(peak_intensity, g_idx, mode="clip")
+    g_sb = jnp.take(peak_scanbin, g_idx, mode="clip")
 
     vmask = (
         (k[None, None, :] < slab_len[:, :, None])
@@ -312,15 +334,25 @@ def extract_scan_profile(
 
     c_lo = jnp.clip(cycle_lo, 0, n_cycles)[:, None]
     c_hi = jnp.clip(cycle_hi, 0, n_cycles)[:, None]
-    r_lo = cs_flat[row, jnp.broadcast_to(c_lo, row.shape)]  # [B, Q]
-    r_hi = cs_flat[row, jnp.broadcast_to(c_hi, row.shape)]
+    # flat clip-mode takes (see note in _one_bin: OOB-fill gather
+    # lowering miscompiles on XLA:CPU at some shapes)
+    r_lo = jnp.take(
+        cs_flat.reshape(-1),
+        row * cs_flat.shape[1] + jnp.broadcast_to(c_lo, row.shape),
+        mode="clip",
+    )  # [B, Q]
+    r_hi = jnp.take(
+        cs_flat.reshape(-1),
+        row * cs_flat.shape[1] + jnp.broadcast_to(c_hi, row.shape),
+        mode="clip",
+    )
     slab_len = jnp.clip(r_hi - r_lo, 0, slab)
 
     k = jnp.arange(slab, dtype=jnp.int32)
     g_idx = jnp.clip(r_lo[:, :, None] + k, 0, peak_mz.shape[0] - 1)
-    g_mz = peak_mz[g_idx]  # [B, Q, K]
-    g_int = peak_intensity[g_idx]
-    g_sb = peak_scanbin[g_idx]
+    g_mz = jnp.take(peak_mz, g_idx, mode="clip")  # [B, Q, K]
+    g_int = jnp.take(peak_intensity, g_idx, mode="clip")
+    g_sb = jnp.take(peak_scanbin, g_idx, mode="clip")
 
     vmask = (
         (k[None, None, :] < slab_len[:, :, None])

@@ -272,8 +272,18 @@ def extract_xic_pallas(
     # slab start/end: only 2 gathered values per query
     c0c = jnp.clip(cycle_start, 0, n_cycles)[:, None]
     c1c = jnp.clip(cycle_start + W, 0, n_cycles)[:, None]
-    r0 = cs_flat[row, jnp.broadcast_to(c0c, row.shape)]  # [B, Q]
-    r_end = cs_flat[row, jnp.broadcast_to(c1c, row.shape)]
+    # flat clip-mode takes (see ops/xic.py _one_bin note: OOB-fill
+    # gather lowering miscompiles on XLA:CPU at some shapes)
+    r0 = jnp.take(
+        cs_flat.reshape(-1),
+        row * cs_flat.shape[1] + jnp.broadcast_to(c0c, row.shape),
+        mode="clip",
+    )  # [B, Q]
+    r_end = jnp.take(
+        cs_flat.reshape(-1),
+        row * cs_flat.shape[1] + jnp.broadcast_to(c1c, row.shape),
+        mode="clip",
+    )
     slab_len = jnp.clip(r_end - r0, 0, slab)
     slab_len = jnp.where(valid_q, slab_len, 0)
 

@@ -87,6 +87,17 @@ FEATURE_COLUMNS = [
     "mean_overlapping_mass_error",
 ]
 
+# library SoA / candidate geometry key sets (upload layout)
+LIB_KEYS = (
+    "frag_mz", "frag_valid", "frag_intensity", "frag_type",
+    "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
+    "ms1_slot", "win_lo", "win_hi",
+)
+GEO_KEYS = (
+    "rows", "frame_center", "frame_start", "frame_stop",
+    "scan_lo", "scan_hi", "mobility_width",
+)
+
 # precursor columns carried into the PSM table when present
 PRECURSOR_CARRY_COLUMNS = [
     "elution_group_idx",
@@ -336,6 +347,85 @@ class CandidateScoring:
     def _mesh(self):
         return data_parallel_mesh(self.config.mesh_devices, self.config.batch_size)
 
+    def _static_kw(self, W: int) -> dict:
+        cfg = self.config
+        dia = self.dia
+        return dict(
+            n_cycles=dia.n_cycles,
+            n_bins=dia.n_bins,
+            bin_mz_min=dia.bin_mz_min,
+            bin_width=dia.coarse_bin_width,
+            n_scan_bins=dia.n_scan_bins if dia.has_mobility else 1,
+            slab=cfg.gather_slab,
+            window_len=W,
+            quant_window=cfg.quant_window,
+            quant_all=cfg.quant_all,
+            experimental_xic=cfg.experimental_xic,
+            use_pallas=_pallas_available() and cfg.use_pallas,
+            compute_dtype=cfg.compute_dtype,
+        )
+
+    def _batch_cap(self) -> int:
+        cap = self.config.batch_size
+        if self.dia.has_mobility and self.dia.n_scan_bins > 1:
+            cap = min(cap, 4096)  # scan-profile extraction is S-times heavier
+        return cap
+
+    def _upload_lib(self):
+        """Upload the per-precursor SoA once (async, compact wire dtypes).
+        Returns (lib_host, lib_dev)."""
+        import jax as _jax
+
+        from alphadia_tpu.ops.packing import compact_wire
+
+        lib = self._library_arrays()
+        lib_dev = {
+            k: _jax.device_put(compact_wire(k, lib[k])) for k in LIB_KEYS
+        }
+        return lib, lib_dev
+
+    @staticmethod
+    def _geo_chunk(geo: dict, b0: int, b1: int, bsz: int) -> dict:
+        """Slice per-candidate geometry [b0:b1], pad to bsz, compact."""
+        from alphadia_tpu.ops.packing import compact_wire
+
+        out = {}
+        for k in GEO_KEYS:
+            a = geo[k][b0:b1]
+            if b1 - b0 < bsz:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], bsz - (b1 - b0), axis=0)], axis=0
+                )
+            out[k] = compact_wire(k, a)
+        return out
+
+    def _dispatch_chunk(self, dev, lib_dev, geo_chunk, bsz: int, W: int):
+        """One scoring dispatch for an exact-[bsz] geometry chunk (values
+        may be host numpy — device_put'd here, async — or pre-staged
+        device arrays)."""
+        import jax as _jax
+
+        cfg = self.config
+        geo_dev = {
+            k: (v if hasattr(v, "devices") else _jax.device_put(v))
+            for k, v in geo_chunk.items()
+        }
+        return score_candidates_batch_lib(
+            dev["peak_mz"], dev["peak_intensity"],
+            dev["peak_packed"], dev["peak_scanbin"],
+            dev["cell_start"], dev["cycle_rt"],
+            *(lib_dev[k] for k in LIB_KEYS),
+            np.asarray(cfg.quad_sigma, np.float32),
+            np.asarray(cfg.quad_delta_mu, np.float32),
+            *(geo_dev[k] for k in GEO_KEYS),
+            np.int32(0),
+            np.float32(cfg.fragment_mz_tolerance),
+            np.float32(cfg.precursor_mz_tolerance),
+            bsz=bsz, pack_output=True,
+            transport_quant=cfg.transport_quant,
+            **self._static_kw(W),
+        )
+
     def __call__(
         self, candidates_df: pd.DataFrame, thread_count: int | None = None
     ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -367,29 +457,11 @@ class CandidateScoring:
         trace["prep"] = time.perf_counter() - _t
         W = geo["window_len"]
         dev = dia.device_arrays()
-        static_kw = dict(
-            n_cycles=dia.n_cycles,
-            n_bins=dia.n_bins,
-            bin_mz_min=dia.bin_mz_min,
-            bin_width=dia.coarse_bin_width,
-            n_scan_bins=dia.n_scan_bins if dia.has_mobility else 1,
-            slab=cfg.gather_slab,
-            window_len=W,
-            quant_window=cfg.quant_window,
-            quant_all=cfg.quant_all,
-            experimental_xic=cfg.experimental_xic,
-            use_pallas=_pallas_available() and cfg.use_pallas,
-            compute_dtype=cfg.compute_dtype,
-        )
+        static_kw = self._static_kw(W)
 
         n = len(cand)
-        cap = cfg.batch_size
-        if dia.has_mobility and dia.n_scan_bins > 1:
-            cap = min(cap, 4096)  # scan-profile extraction is S-times heavier
+        cap = self._batch_cap()
         Bsz = effective_batch(cap, n)
-        feat_rows = []
-        valid_rows = []
-        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity", "scan_com")}
 
         # non-mesh path: greedy pow2 schedule (fewer dispatches for the
         # bulk, halving batches toward the tail to bound padded rows)
@@ -400,8 +472,6 @@ class CandidateScoring:
         else:
             schedule = [(b0, Bsz) for b0 in range(0, n, Bsz)]
 
-        # upload geometry/arrays once (padded to cover the last batch);
-        # batches are device-side slices — no per-batch host->device copies
         n_padded = max(b0 + bsz for b0, bsz in schedule)
         import jax as _jax
 
@@ -410,15 +480,6 @@ class CandidateScoring:
             "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
             "ms1_slot", "win_lo", "win_hi", "frame_center", "frame_start",
             "frame_stop", "scan_lo", "scan_hi", "mobility_width",
-        )
-        _LIB_KEYS = (
-            "frag_mz", "frag_valid", "frag_intensity", "frag_type",
-            "frag_position", "iso_mz", "iso_intensity", "ms2_slot",
-            "ms1_slot", "win_lo", "win_hi",
-        )
-        _GEO_KEYS = (
-            "rows", "frame_center", "frame_start", "frame_stop",
-            "scan_lo", "scan_hi", "mobility_width",
         )
 
         from alphadia_tpu.ops.packing import compact_wire
@@ -431,21 +492,15 @@ class CandidateScoring:
             return a
 
         # library-indexed uploads (non-mesh production + device-time
-        # bench): the per-precursor SoA and the per-candidate geometry go
-        # up ONCE in compact wire dtypes (f16/u8/i16/bit-packed validity —
-        # the kernel decodes); per-batch inputs are device-side slices +
-        # a device-side row gather. device_put is async, so the upload
-        # rides the tunnel while the first dispatch compiles its args and
-        # the downloads of early batches stream back full-duplex.
+        # bench): the per-precursor SoA goes up ONCE in compact wire
+        # dtypes (f16/u8/i16/bit-packed validity — the kernel decodes);
+        # per-batch inputs are a small exact-[bsz] geometry chunk + a
+        # device-side row gather. device_put is async, so uploads ride
+        # the tunnel while earlier batches compute and their downloads
+        # stream back full-duplex.
         _t = time.perf_counter()
         if mesh is None:
-            lib_dev = {
-                k: _jax.device_put(compact_wire(k, lib[k])) for k in _LIB_KEYS
-            }
-            geo_dev = {
-                k: _jax.device_put(compact_wire(k, _padded(geo[k])))
-                for k in _GEO_KEYS
-            }
+            lib, lib_dev = self._upload_lib()
             batch_dev = None
         else:
             # mesh path: per-candidate arrays, per-batch placement below
@@ -455,9 +510,19 @@ class CandidateScoring:
         trace["wire"] = time.perf_counter() - _t
 
         if cfg.bench_device_time:
-            # stage ALL inputs before starting the clock
+            # stage ALL inputs (incl. every geometry chunk) before the clock
+            staged = [
+                {
+                    k: _jax.device_put(v)
+                    for k, v in self._geo_chunk(
+                        geo, b0, min(b0 + bsz, n), bsz
+                    ).items()
+                }
+                for b0, bsz in schedule
+            ]
             _jax.block_until_ready(list(lib_dev.values()))
-            _jax.block_until_ready(list(geo_dev.values()))
+            for s in staged:
+                _jax.block_until_ready(list(s.values()))
             _jax.block_until_ready(list(dev.values()))
             _t_device0 = time.perf_counter()
 
@@ -467,25 +532,20 @@ class CandidateScoring:
         ptol = np.float32(cfg.precursor_mz_tolerance)
         _t = time.perf_counter()
         pending = []  # device results collected after all batches are submitted
-        for b0, bsz in schedule:
+        for i, (b0, bsz) in enumerate(schedule):
             b1 = min(b0 + bsz, n)
             pad = bsz - (b1 - b0)
 
             if mesh is None:
-                # single dispatch per batch: geometry sliced and library
-                # rows gathered on device; packed byte-plane output =
-                # single device->host download per batch
-                packed = score_candidates_batch_lib(
-                    dev["peak_mz"], dev["peak_intensity"],
-                    dev["peak_packed"], dev["peak_scanbin"],
-                    dev["cell_start"], dev["cycle_rt"],
-                    *(lib_dev[k] for k in _LIB_KEYS),
-                    qs, qd,
-                    *(geo_dev[k] for k in _GEO_KEYS),
-                    np.int32(b0), ftol, ptol, bsz=bsz, pack_output=True,
-                    transport_quant=cfg.transport_quant,
-                    **static_kw,
+                # single dispatch per batch: exact-[bsz] geometry chunk,
+                # library rows gathered on device; packed byte-plane
+                # output = single device->host download per batch
+                chunk = (
+                    staged[i]
+                    if cfg.bench_device_time
+                    else self._geo_chunk(geo, b0, b1, bsz)
                 )
+                packed = self._dispatch_chunk(dev, lib_dev, chunk, bsz, W)
                 pending.append((bsz - pad, b0, packed))
                 continue
 
@@ -536,6 +596,24 @@ class CandidateScoring:
             return _empty_psm_df(), _empty_fragment_df()
 
         trace["submit"] = time.perf_counter() - _t
+
+        psm_df, fragment_df = self._harvest(pending, cand, lib, geo, trace)
+        self.last_trace = trace
+        logger.info(
+            f"Candidate scoring: {len(psm_df)}/{n} candidates scored "
+            f"(window {W} cycles)"
+        )
+        return psm_df, fragment_df
+
+    def _harvest(self, pending, cand, lib, geo, trace):
+        """Collect, decode and assemble all pending batch results into
+        the (psm_df, fragment_df) pair. ``pending`` entries are
+        (take, b0, packed) where b0 indexes into cand/geo order."""
+        cfg = self.config
+
+        feat_rows = []
+        valid_rows = []
+        frag_out_rows = {k: [] for k in ("mz_observed", "mass_error", "height", "intensity", "correlation", "valid", "obs_intensity", "scan_com")}
 
         # pipeline the downloads: start every device->host copy now so the
         # tunnel transfer of batch N+1 overlaps the host decode of batch N
@@ -680,12 +758,6 @@ class CandidateScoring:
             )
 
         trace["df_build"] = time.perf_counter() - _t
-        self.last_trace = trace
-
-        logger.info(
-            f"Candidate scoring: {valid.sum()}/{n} candidates scored "
-            f"(window {W} cycles)"
-        )
         return psm_df, fragment_df
 
 

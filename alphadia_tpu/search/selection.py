@@ -206,6 +206,24 @@ class CandidateSelection:
         return data_parallel_mesh(self.config.mesh_devices, self.config.batch_size)
 
     def __call__(self, thread_count: int | None = None) -> pd.DataFrame:
+        state = self._submit()
+        if isinstance(state, pd.DataFrame):
+            # degenerate paths (empty library, device-time bench) return
+            # their frame directly
+            return state
+        out_frames = [df for _, df in self._harvest_iter(state)]
+        candidates = pd.concat(out_frames, ignore_index=True)
+        self.last_trace = state["trace"]
+        logger.info(
+            f"Candidate selection: {len(candidates)} candidates for "
+            f"{state['n']} precursors (window {state['window_len']} cycles)"
+        )
+        return candidates
+
+    def _submit(self):
+        """Prepare arrays, upload, and dispatch every selection batch
+        (async). Returns a state dict for :meth:`_harvest_iter`, or a
+        final DataFrame for degenerate paths."""
         cfg = self.config
         dia = self.dia
         n = len(self.precursor_df)
@@ -473,6 +491,29 @@ class CandidateSelection:
         # tunnel transfer of batch N+1 overlaps the host decode of batch N
         prefetch_to_host([p[-1] for p in pending])
 
+        return {
+            "pending": pending,
+            "pack_mode": pack_mode,
+            "use_4d": use_4d,
+            "stride": stride,
+            "trace": trace,
+            "n": n,
+            "window_len": W,
+        }
+
+    def _harvest_iter(self, state):
+        """Yield (b0, candidates_frame) per dispatched batch, in order —
+        each frame decodes as soon as its download lands, so a consumer
+        (search/pipelined.py) can dispatch scoring while later selection
+        batches are still computing/downloading."""
+        cfg = self.config
+        pending = state["pending"]
+        pack_mode = state["pack_mode"]
+        use_4d = state["use_4d"]
+        stride = state["stride"]
+        trace = state["trace"]
+        precursor_idx = self.precursor_df["precursor_idx"].to_numpy(np.int64)
+
         K = cfg.candidate_count
         unpack_spec = {
             "valid": ("bool", K), "rank": ("int32", K), "score": ("float32", K),
@@ -521,7 +562,7 @@ class CandidateSelection:
                 scan_start = np.zeros(len(rows), np.int64)
                 scan_center = np.zeros(len(rows), np.int64)
                 scan_stop = np.ones(len(rows), np.int64)
-            out_frames.append(
+            frame = (
                 pd.DataFrame(
                     {
                         "precursor_idx": precursor_idx[b0 + rows],
@@ -546,14 +587,7 @@ class CandidateSelection:
                 )
             )
             trace["decode"] += time.perf_counter() - _t
-
-        candidates = pd.concat(out_frames, ignore_index=True)
-        self.last_trace = trace
-        logger.info(
-            f"Candidate selection: {len(candidates)} candidates for {n} precursors "
-            f"(window {W} cycles)"
-        )
-        return candidates
+            yield b0, frame
 
 
 # kept as an alias: the shared policy lives in search/common.py

@@ -365,13 +365,16 @@ def _pipeline_child() -> None:
 
     class _CompileCounter(logging.Handler):
         def emit(self, record):
-            if "Compiling" in record.getMessage():
+            # count backend executable builds only ("Finished XLA
+            # compilation of <name> in <t> sec"), not tracing records
+            if "Finished XLA compilation" in record.getMessage():
                 compiles["n"] += 1
 
     jax.config.update("jax_log_compiles", True)
-    handler = _CompileCounter()
-    logging.getLogger("jax").addHandler(handler)
-    logging.getLogger("jax._src.interpreters.pxla").addHandler(handler)
+    for name in ("jax._src.dispatch", "jax._src.interpreters.pxla", "jax"):
+        lg = logging.getLogger(name)
+        lg.addHandler(handler := _CompileCounter())
+        lg.propagate = False  # keep the console log readable
 
     from alphadia_tpu.cli import run as cli_run
     from alphadia_tpu.library.speclib import SpecLibFlat

@@ -107,3 +107,70 @@ def test_extract_xic_slab_overflow_is_clamped():
         **_xic_kwargs(dia, 32, slab=4),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_extract_xic_jit_matches_eager_wide_store():
+    """Regression: jit and eager extraction must agree on a many-slot
+    store at W=128/B>=4. jax 0.9.0's XLA:CPU lowering of the default
+    OOB-fill gather miscompiled these shapes (every cs_flat element came
+    back as the int32 fill value, silently zeroing ALL XICs for 24-window
+    schemes); ops/xic.py now uses flat clip-mode takes, which are
+    semantically identical for the in-bounds-by-construction indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphadia_tpu.ops.xic import extract_xic
+    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.testing.synthetic import SyntheticConfig, make_synthetic_dia
+
+    spectra, prec, frag = make_synthetic_dia(
+        SyntheticConfig(
+            n_peptides=60,
+            n_windows=24,
+            n_cycles=200,
+            noise_peaks_per_spectrum=60,
+            seed=17,
+        )
+    )
+    dia = DiaData.from_spectra(spectra)
+    dev = dia.device_arrays()
+
+    det = prec[prec["_truth_detectable"]].iloc[0]
+    fr = frag.iloc[
+        int(det["flat_frag_start_idx"]) : int(det["flat_frag_stop_idx"])
+    ]
+    fmz = fr["mz_library"].to_numpy(np.float32)[:8]
+    slot = 1 + int(
+        (det["mz_library"] - 400.0) // ((1000.0 - 400.0) / 24)
+    )
+    cyc = int(np.searchsorted(dia.cycle_rt, det["_truth_rt"]))
+    B = 5
+    slots = np.full((B, len(fmz)), slot, np.int32)
+    mzs = np.tile(fmz, (B, 1))
+    c0 = np.full(B, max(cyc - 64, 0), np.int32)
+
+    kw = dict(
+        n_cycles=dia.n_cycles,
+        n_bins=dia.n_bins,
+        bin_mz_min=dia.bin_mz_min,
+        bin_width=dia.coarse_bin_width,
+        slab=256,
+        window_len=128,
+    )
+    out_jit = np.asarray(
+        extract_xic(
+            dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+            jnp.asarray(slots), jnp.asarray(mzs), jnp.float32(15.0),
+            jnp.asarray(c0), **kw,
+        )
+    )
+    with jax.disable_jit():
+        out_eager = np.asarray(
+            extract_xic(
+                dev["peak_mz"], dev["peak_intensity"], dev["cell_start"],
+                jnp.asarray(slots), jnp.asarray(mzs), jnp.float32(15.0),
+                jnp.asarray(c0), **kw,
+            )
+        )
+    assert out_eager.sum() > 0  # the true signal is in the window
+    np.testing.assert_allclose(out_jit, out_eager, rtol=1e-6)

@@ -168,6 +168,45 @@ def masked_mean(x, mask, axis=-1):
     return (x * m).sum(axis=axis) / n
 
 
+def ref_top3_ion_correlation(values, frag_mz, frag_int, mask, is_type):
+    """Replicate the reference's top3_{b,y}_ion_correlation pick EXACTLY
+    (reference profile_features.py:36,97-112):
+
+        fragment_idx_sorted = np.argsort(intensity)[::-1]
+        sel = fragment_idx_sorted[type_mask][:3]      # note: MASK IS IN
+        feature = correlation_list[sel].mean()        # m/z ORDER, the
+                                                      # INDEX LIST IS NOT
+    i.e. the positions of the candidate's b (or y) ions in the container's
+    m/z-sorted order select entries of the intensity-descending index
+    list — a reference quirk that usually does NOT pick b ions at all.
+    Ties in the argsort resolve like numpy's stable ascending sort
+    reversed (later position wins), matched here with a stable argsort +
+    flip. Invalid slots sort to the tail of both orders.
+    """
+    inf = jnp.float32(jnp.inf)
+    # container order = ascending m/z over valid fragments
+    perm = jnp.argsort(jnp.where(mask, frag_mz, inf), axis=1, stable=True)
+    g = lambda a: jnp.take_along_axis(a, perm, axis=1)  # noqa: E731
+    vals_m, int_m, valid_m, type_m = g(values), g(frag_int), g(mask), g(is_type)
+    # fragment_idx_sorted: intensity descending, numpy [::-1] tie order
+    idx_sorted = jnp.flip(
+        jnp.argsort(jnp.where(valid_m, int_m, -inf), axis=1, stable=True),
+        axis=1,
+    )
+    corr_at = jnp.take_along_axis(vals_m, idx_sorted, axis=1)  # [B, KF]
+    hit = type_m & valid_m  # positions in m/z order
+    rank = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1
+    n = hit.sum(axis=1)
+    limit = jnp.minimum(n, 3)
+    total = jnp.zeros(values.shape[0], values.dtype)
+    for r in range(3):
+        sel = hit & (rank == r)
+        total = total + jnp.where(
+            r < limit, (sel * corr_at).sum(axis=1), 0.0
+        )
+    return jnp.where(limit > 0, total / jnp.maximum(limit, 1), 0.0)
+
+
 def topk_mean_by(values, keys, mask, k=3):
     """Mean of `values` at the k largest `keys` among masked entries."""
     masked_keys = jnp.where(mask, keys, -jnp.inf)

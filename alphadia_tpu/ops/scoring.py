@@ -59,6 +59,7 @@ from alphadia_tpu.ops.features import (
     or_envelope,
     pearson_rows,
     pearson_rows_masked,
+    ref_top3_ion_correlation,
     topk_mean_by,
     weighted_center_mean,
     weighted_center_of_mass,
@@ -320,13 +321,79 @@ def score_candidates_batch(
     prec_ctr = (frame_start - cycle_start + 1).astype(f32)  # [B]
     center_arr = jnp.broadcast_to(prec_ctr[:, None], (B, KI))
     prec_kw = dict(scan_dist_sq=(4.0, 1.0))
-    prec_height = weighted_center_mean(
-        d_prec_int, center_arr, wmask[:, None, :], **prec_kw
-    )
-    prec_dmz_obs = weighted_center_mean(
-        d_prec_dmz, center_arr, wmask[:, None, :],
-        nonzero=prec_present, **prec_kw,
-    )
+    if n_scan_bins > 1:
+        # 4D: the reference weights over the TRUE (scan, frame) cells of
+        # the candidate-cropped dense — weight exp(-0.1*sqrt(ds^2+df^2))
+        # per nonzero cell, centers = the tile(shape) artifact
+        # (scan_center = n_window_scans, frame_center = n_observations;
+        # precursor_features.py:52-67 + features_utils.py:10-37). Exact
+        # per-cell replication here on the [B, KI, S, W] dense; the
+        # collapsed-scan form below stays for 3D (where it is exact).
+        from alphadia_tpu.ops.xic import extract_xic_4d
+
+        i4_int_o, i4_dmz_o = extract_xic_4d(
+            peak_mz, peak_intensity, peak_scanbin, cell_start,
+            islot.reshape(B, KI * O1), imzq.reshape(B, KI * O1),
+            precursor_tol_ppm, cycle_start,
+            n_cycles=n_cycles, n_bins=n_bins, bin_mz_min=bin_mz_min,
+            bin_width=bin_width, n_scan_bins=n_scan_bins, slab=slab,
+            window_len=W, with_mz=True,
+        )
+        S4 = n_scan_bins
+        i4_int_o = i4_int_o.reshape(B, KI, O1, S4, W)
+        i4_dmz_o = i4_dmz_o.reshape(B, KI, O1, S4, W)
+        # cell-wise obs merge, same eps semantics as the collapsed path
+        nz4 = (i4_int_o > 0).sum(axis=2).astype(f32)  # [B, KI, S, W]
+        i4_int = i4_int_o.sum(axis=2)
+        i4_dmz = jnp.where(
+            nz4 > 0,
+            (i4_dmz_o.sum(axis=2) - 1e-6 * iso_mz[:, :, None, None])
+            / (nz4 + 1e-6),
+            0.0,
+        )
+        s_idx4 = jnp.arange(S4, dtype=f32)
+        smask4 = (s_idx4[None, :] >= scan_lo[:, None]) & (
+            s_idx4[None, :] < scan_hi[:, None]
+        )  # [B, S]
+        # reference scan coord ASCENDS raw scan index = DESCENDING
+        # mobility, ours ascends mobility: s_ref = (window) scan_stop_ref
+        # - 1 - (s - scan_lo) ... the ref center (= window length, one
+        # row past its last scan) therefore sits one bin BELOW our
+        # window start: ds = s - (scan_lo - 1)
+        ds4 = s_idx4[None, :] - (scan_lo.astype(f32)[:, None] - 1.0)  # [B, S]
+        df4 = jnp.arange(W, dtype=f32)[None, :] - prec_ctr[:, None]  # [B, W]
+        w4 = jnp.exp(
+            -0.1
+            * jnp.sqrt(
+                jnp.square(ds4)[:, None, :, None]
+                + jnp.square(df4)[:, None, None, :]
+            )
+        )  # [B, 1, S, W]
+        present4 = (
+            (i4_int > 0)
+            & smask4[:, None, :, None]
+            & wmask[:, None, None, :]
+        )
+        w4m = jnp.where(present4, w4, 0.0)
+        w4sum = w4m.sum(axis=(-2, -1))  # [B, KI]
+        prec_height = jnp.where(
+            w4sum > 0,
+            (i4_int * w4m).sum(axis=(-2, -1)) / jnp.maximum(w4sum, 1e-12),
+            0.0,
+        )
+        prec_dmz_obs = jnp.where(
+            w4sum > 0,
+            (i4_dmz * w4m).sum(axis=(-2, -1)) / jnp.maximum(w4sum, 1e-12),
+            0.0,
+        )
+    else:
+        prec_height = weighted_center_mean(
+            d_prec_int, center_arr, wmask[:, None, :], **prec_kw
+        )
+        prec_dmz_obs = weighted_center_mean(
+            d_prec_dmz, center_arr, wmask[:, None, :],
+            nonzero=prec_present, **prec_kw,
+        )
     mz_nz = (prec_present & wmask[:, None, :]).any(axis=-1)  # [B, KI]
     mass_err_iso = prec_dmz_obs / iso_mz * 1e6
     weighted_mass_error = (jnp.where(mz_nz, mass_err_iso, 0.0) * iso_intensity).sum(axis=1)
@@ -480,12 +547,14 @@ def score_candidates_batch(
     # intensities would scale the feature with the library's intensity sum
     feat[33] = ((tf_red * intensity_norm).sum(axis=1))
 
+    # reference-exact pick order incl. its sorted-index/mask-order quirk
+    # (ops/features.ref_top3_ion_correlation; profile_features.py:97-112)
     feat[34] = (
-        topk_mean_by(frame_corr, frag_intensity, fmask & is_b, 3)
+        ref_top3_ion_correlation(frame_corr, frag_mz, frag_intensity, fmask, is_b)
     )
     feat[35] = ((fmask & is_b).sum(axis=1).astype(f32))
     feat[36] = (
-        topk_mean_by(frame_corr, frag_intensity, fmask & is_y, 3)
+        ref_top3_ion_correlation(frame_corr, frag_mz, frag_intensity, fmask, is_y)
     )
     feat[37] = ((fmask & is_y).sum(axis=1).astype(f32))
 

@@ -195,7 +195,7 @@ def extract_xic(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_cycles", "n_bins", "n_scan_bins", "slab", "window_len",
+        "n_cycles", "n_bins", "n_scan_bins", "slab", "window_len", "with_mz",
     ),
 )
 def extract_xic_4d(
@@ -215,8 +215,10 @@ def extract_xic_4d(
     n_scan_bins: int,
     slab: int = 256,
     window_len: int = 64,
+    with_mz: bool = False,
 ):
-    """Dense 4D XIC: intensity[B, Q, S, W] resolved per mobility scan bin.
+    """Dense 4D XIC: intensity[B, Q, S, W] resolved per mobility scan bin
+    (and, with ``with_mz``, the per-cell m/z delta plane).
 
     Same slab-gather layout as ``extract_xic`` (one contiguous slab per
     query, reference get_dense's 4D output alpharaw_jit.py:208-425), with
@@ -282,7 +284,24 @@ def extract_xic_4d(
         P, rel[:, :, :, None].astype(jnp.int32), axis=2
     )  # [B, Q, W+1, S]
     intensity = Pr[:, :, 1:, :] - Pr[:, :, :-1, :]  # [B, Q, W, S]
-    return jnp.transpose(intensity, (0, 1, 3, 2))  # [B, Q, S, W]
+    intensity = jnp.transpose(intensity, (0, 1, 3, 2))  # [B, Q, S, W]
+    if not with_mz:
+        return intensity
+    # per-(scan, cycle) intensity-weighted m/z delta from the query center
+    # (same prefix-sum trick on intensity * (mz - qc); full f32 precision
+    # at ppm scale) — the exact 4D input of the reference's 2D
+    # scan x frame weighted-center-mean (precursor_features.py:52-67)
+    qc = (q_lo + q_hi) * 0.5
+    vmS = jnp.where(vmask, g_int * (g_mz - qc[:, :, None]), 0.0)[
+        :, :, :, None
+    ] * onehot
+    Pm = jnp.concatenate(
+        [jnp.zeros((B, Q, 1, S), vmS.dtype), jnp.cumsum(vmS, axis=2)], axis=2
+    )
+    Pmr = jnp.take_along_axis(Pm, rel[:, :, :, None].astype(jnp.int32), axis=2)
+    dmz_sum = jnp.transpose(Pmr[:, :, 1:, :] - Pmr[:, :, :-1, :], (0, 1, 3, 2))
+    dmz = jnp.where(intensity > 0, dmz_sum / jnp.maximum(intensity, 1e-12), 0.0)
+    return intensity, dmz
 
 
 @partial(

@@ -353,9 +353,9 @@ FEATURE_GATES = {
     "fragment_frame_correlation": (0.01, 0.98),
     "top3_frame_correlation": (0.01, 0.98),
     "template_frame_correlation": (0.05, 0.99),
-    "top3_b_ion_correlation": (0.01, 0.7),
+    "top3_b_ion_correlation": (0.01, 0.95),
     "n_b_ions": (0.001, 0.999),
-    "top3_y_ion_correlation": (0.01, 0.7),
+    "top3_y_ion_correlation": (0.01, 0.95),
     "n_y_ions": (0.001, 0.999),
     "cycle_fwhm": (0.05, 0.99),  # cycle_time/n_slots rt-width residual
     "delta_frame_peak": (0.01, 0.95),

@@ -107,9 +107,9 @@ def _build_spectra() -> SpectrumData:
     )
 
 
-@pytest.fixture(scope="module")
-def scored():
-    dia = DiaData.from_spectra(_build_spectra())
+def _library_frames():
+    """The golden precursor/fragment/candidate frames (shared with the
+    bf16-path gates in test_scoring_bf16.py)."""
     prec = pd.DataFrame(
         {
             "precursor_idx": [7],
@@ -145,14 +145,25 @@ def scored():
             "frame_stop": [FRAME_STOP],
         }
     )
-    cfg = ScoringConfig(
+    return prec, frag, cand
+
+
+def golden_config(**kw) -> ScoringConfig:
+    return ScoringConfig(
         top_k_fragments=4,
         top_k_isotopes=3,
         quant_window=3,
         quant_all=True,
         collect_fragments=True,
+        **kw,
     )
-    psm, frag_df = CandidateScoring(dia, prec, frag, cfg)(cand)
+
+
+@pytest.fixture(scope="module")
+def scored():
+    dia = DiaData.from_spectra(_build_spectra())
+    prec, frag, cand = _library_frames()
+    psm, frag_df = CandidateScoring(dia, prec, frag, golden_config())(cand)
     assert len(psm) == 1
     return psm.iloc[0], frag_df
 

@@ -37,10 +37,15 @@ def perform_fdr(
     df_target = df_target.dropna(subset=available_columns)
     df_decoy = df_decoy.dropna(subset=available_columns)
 
+    # decoy-counting q-values stay valid under moderate imbalance (real
+    # searches routinely score 2-3x more target than decoy PSMs); warn
+    # only at extreme skew, where CLASSIFIER training can degrade — a 10%
+    # threshold fired on nearly every production optimization iteration
     n_t, n_d = len(df_target), len(df_decoy)
-    if n_t + n_d and abs(n_t - n_d) / max((n_t + n_d) / 2, 1) > 0.1:
+    if n_t + n_d and (n_t > 3 * max(n_d, 1) or n_d > 3 * max(n_t, 1)):
         logger.warning(
-            f"FDR: target/decoy imbalance ({n_t} vs {n_d}); q-values may be inaccurate"
+            f"FDR: extreme target/decoy imbalance ({n_t} vs {n_d}); "
+            f"classifier ranking may degrade"
         )
 
     X = np.concatenate(

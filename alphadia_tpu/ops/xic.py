@@ -140,7 +140,7 @@ def extract_xic(
     B, Q = slot_idx.shape
     W = window_len
     n_slots = cell_start.shape[0]
-    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+    cs_flat = cell_start.reshape(n_slots * n_bins, -1)  # cycle dim may be bucket-padded
 
     valid_q = slot_idx >= 0
     slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
@@ -229,7 +229,7 @@ def extract_xic_4d(
     B, Q = slot_idx.shape
     W, S = window_len, n_scan_bins
     n_slots = cell_start.shape[0]
-    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+    cs_flat = cell_start.reshape(n_slots * n_bins, -1)  # cycle dim may be bucket-padded
 
     valid_q = slot_idx >= 0
     slot_c = jnp.clip(slot_idx, 0, n_slots - 1)
@@ -338,7 +338,7 @@ def extract_scan_profile(
     B, Q = slot_idx.shape
     S = n_scan_bins
     n_slots = cell_start.shape[0]
-    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+    cs_flat = cell_start.reshape(n_slots * n_bins, -1)  # cycle dim may be bucket-padded
 
     valid_q = slot_idx >= 0
     slot_c = jnp.clip(slot_idx, 0, n_slots - 1)

@@ -252,7 +252,7 @@ def extract_xic_pallas(
     B, Q = slot_idx.shape
     W = window_len
     n_slots = cell_start.shape[0]
-    cs_flat = cell_start.reshape(n_slots * n_bins, n_cycles + 1)
+    cs_flat = cell_start.reshape(n_slots * n_bins, -1)  # cycle dim may be bucket-padded
     # a slab window starting at any in-row offset (0..LANE-1) spans up to
     # ceil(slab/LANE)+1 rows; the old `slab // LANE + 1` silently dropped
     # trailing peaks for slab sizes that are not a multiple of LANE

@@ -353,17 +353,18 @@ class DiaData:
                 import jax.numpy as jnp
 
                 base = self.device_arrays()
-                n_k = -(-self.n_cycles // stride)  # ceil
-                # boundary c' -> fine boundary min(stride*c', n_cycles)
+                n_k = -(-self.n_cycles_dev // stride)  # ceil over BUCKETED
+                # boundary c' -> fine boundary min(stride*c', n_cycles);
+                # boundaries in the bucketed pad region stay at the real
+                # end (empty cells)
                 b_idx = np.minimum(
                     np.arange(n_k + 1, dtype=np.int64) * stride, self.n_cycles
                 )
                 cs_k = self.cell_start[:, :, b_idx]
+                crt_k = self._cycle_rt_padded()[::stride][: n_k]
                 d = dict(base)
                 d["cell_start"] = jnp.asarray(np.ascontiguousarray(cs_k))
-                d["cycle_rt"] = jnp.asarray(
-                    np.ascontiguousarray(self.cycle_rt[::stride])
-                )
+                d["cycle_rt"] = jnp.asarray(np.ascontiguousarray(crt_k))
                 d["n_cycles"] = n_k
                 self._device_coarse[stride] = d
             return self._device_coarse[stride]
@@ -371,6 +372,7 @@ class DiaData:
             import jax.numpy as jnp
 
             from alphadia_tpu.ops.xic_pallas import pack_peak_store
+            from alphadia_tpu.utils.device import bucket_count
 
             # cycle of every stored peak, reconstructed from the cell index
             counts = np.diff(
@@ -385,25 +387,71 @@ class DiaData:
                 ),
                 counts,
             )
+            # SHAPE BUCKETING: peak counts and cycle counts differ per raw
+            # file; exact-size uploads would recompile every kernel for
+            # every file (measured ~270 s of a 388 s per-file wall on the
+            # remote TPU). Pad peaks + the cycle axis to quarter-pow2
+            # buckets so same-instrument runs share all compiled programs.
+            # Padded peaks: mz=+inf (matches nothing), intensity 0,
+            # cycle -1; padded cycles: empty cells (edge-repeated offsets)
+            # and monotone rt. Kernels mask these out by construction.
+            n = len(self.peak_mz)
+            n_p = bucket_count(n)
+            pad = n_p - n
+            cyc = np.concatenate([cyc, np.full(n_p - len(cyc), -1, np.int32)])
+            peak_mz = np.concatenate(
+                [self.peak_mz, np.full(pad, np.float32(np.inf))]
+            )
+            peak_int = np.concatenate([self.peak_intensity, np.zeros(pad, np.float32)])
+            scanbin = (
+                self.peak_scanbin
+                if self.peak_scanbin is not None
+                else np.zeros(n, np.int32)
+            )
+            scanbin = np.concatenate([scanbin, np.zeros(pad, np.int32)])
+
+            Nc_p = self.n_cycles_dev
+            cs = self.cell_start
+            if Nc_p > self.n_cycles:
+                cs = np.pad(
+                    cs, ((0, 0), (0, 0), (0, Nc_p - self.n_cycles)), mode="edge"
+                )
             self._device = {
-                "peak_mz": jnp.asarray(self.peak_mz),
-                "peak_intensity": jnp.asarray(self.peak_intensity),
-                "peak_scanbin": jnp.asarray(
-                    self.peak_scanbin
-                    if self.peak_scanbin is not None
-                    else np.zeros(len(self.peak_mz), np.int32)
-                ),
+                "peak_mz": jnp.asarray(peak_mz),
+                "peak_intensity": jnp.asarray(peak_int),
+                "peak_scanbin": jnp.asarray(scanbin),
                 # interleaved [NR, 4, 128] store: one DMA per slab in the
                 # pallas kernel (fields mz, intensity, cycle, scanbin)
                 "peak_packed": jnp.asarray(
-                    pack_peak_store(
-                        self.peak_mz, self.peak_intensity, cyc, self.peak_scanbin
-                    )
+                    pack_peak_store(peak_mz, peak_int, cyc, scanbin)
                 ),
-                "cell_start": jnp.asarray(self.cell_start),
-                "cycle_rt": jnp.asarray(self.cycle_rt),
+                "cell_start": jnp.asarray(cs),
+                "cycle_rt": jnp.asarray(self._cycle_rt_padded()),
+                "n_cycles": Nc_p,
             }
         return self._device
+
+    @property
+    def n_cycles_dev(self) -> int:
+        """Bucketed cycle count of the device view (static kernel shape;
+        see device_arrays shape bucketing)."""
+        from alphadia_tpu.utils.device import bucket_count
+
+        return bucket_count(self.n_cycles, minimum=256)
+
+    def _cycle_rt_padded(self) -> np.ndarray:
+        Nc_p = self.n_cycles_dev
+        if Nc_p == self.n_cycles:
+            return self.cycle_rt
+        step = (
+            float(self.cycle_time)
+            if np.isfinite(self.cycle_time) and self.cycle_time > 0
+            else 1.0
+        )
+        tail = self.cycle_rt[-1] + step * np.arange(
+            1, Nc_p - self.n_cycles + 1, dtype=np.float32
+        )
+        return np.concatenate([self.cycle_rt, tail]).astype(np.float32)
 
     def free_device(self) -> None:
         self._device = None

@@ -150,7 +150,7 @@ def debug_candidates(scoring, candidates_df, n: int = 3, figure_dir=None):
     for i in range(len(cand)):
         cstart = np.int32(arrays["frame_center"][i] - W // 2)
         kw = dict(
-            n_cycles=dia.n_cycles, n_bins=dia.n_bins, bin_mz_min=dia.bin_mz_min,
+            n_cycles=dia.n_cycles_dev, n_bins=dia.n_bins, bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width, slab=scoring.config.gather_slab,
             window_len=W,
         )

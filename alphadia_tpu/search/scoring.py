@@ -351,7 +351,9 @@ class CandidateScoring:
         cfg = self.config
         dia = self.dia
         return dict(
-            n_cycles=dia.n_cycles,
+            # bucket-padded device cycle count (static shape shared across
+            # same-instrument files; see DiaData.device_arrays)
+            n_cycles=dia.n_cycles_dev,
             n_bins=dia.n_bins,
             bin_mz_min=dia.bin_mz_min,
             bin_width=dia.coarse_bin_width,
@@ -586,6 +588,14 @@ class CandidateScoring:
                 transport_quant=cfg.transport_quant,
                 **static_kw,
             )
+            # virtual-CPU meshes: a pending collective program can hit the
+            # hard 40 s rendezvous timeout if the host thread is busy
+            # compiling the next batch's shape (observed CHECK-failure
+            # aborts on 8 virtual devices / 4 cores) — block per batch.
+            # Real TPU meshes keep the async queue (ICI rendezvous is
+            # hardware-side).
+            if _jax.default_backend() == "cpu":
+                _jax.block_until_ready(packed)
             pending.append((bsz - pad, b0, packed))
 
         if cfg.bench_device_time:

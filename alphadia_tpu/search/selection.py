@@ -253,7 +253,6 @@ class CandidateSelection:
         if cfg.coarsen_wide_windows:
             while W // stride > 512:
                 stride *= 2
-        n_cycles_dev = dia.n_cycles
         if stride > 1:
             dev = dia.device_arrays(stride)
             n_cycles_dev = dev["n_cycles"]
@@ -269,6 +268,9 @@ class CandidateSelection:
             )
         else:
             dev = dia.device_arrays()
+            # bucket-padded cycle count (device view; see DiaData shape
+            # bucketing) — the static kernel shape must match the arrays
+            n_cycles_dev = dev["n_cycles"]
 
         sigma = rt_kernel_sigma(
             cfg.fwhm_rt, cfg.sigma_scale_rt, dia.cycle_time * stride
@@ -478,6 +480,11 @@ class CandidateSelection:
                     nvf,
                     **static_kw,
                 )
+            # virtual-CPU meshes: block per batch (see scoring driver —
+            # pending collectives can abort on the 40 s CPU rendezvous
+            # timeout when the host is compiling)
+            if _jax.default_backend() == "cpu":
+                _jax.block_until_ready(result)
             pending.append((b0, bsz, pad, result))
 
         if cfg.bench_device_time:

@@ -81,3 +81,20 @@ def bucket_window(n: int) -> int:
         if n <= b:
             return b
     return ((n + 255) // 256) * 256
+
+
+def bucket_count(n: int, minimum: int = 4096) -> int:
+    """Round an array length up to a quarter-power-of-two bucket.
+
+    Peak-store and cycle counts differ per raw file; uploading them at
+    exact size makes every file recompile every kernel (measured: the
+    first whole-pipeline TPU run spent ~270 s of a 388 s per-file wall
+    recompiling scoring for a peak array 4,110 peaks longer than the
+    previous file's). Quarter-pow2 buckets cap the distinct shapes at 4
+    per octave (<= 25% padded waste) so same-instrument runs share every
+    compiled program.
+    """
+    n = max(int(n), minimum)
+    k = 1 << (n.bit_length() - 1)
+    step = max(k // 4, 1)
+    return ((n + step - 1) // step) * step

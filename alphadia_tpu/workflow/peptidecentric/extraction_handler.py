@@ -114,6 +114,35 @@ class ExtractionHandler:
                 )
         return candidates_df
 
+    def select_and_score(
+        self,
+        dia_data: DiaData,
+        lib,
+        light_transport: bool = False,
+    ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+        """Cross-phase pipelined selection + scoring (no score cutoff —
+        the optimization iterations' shape; search/pipelined.py overlaps
+        selection downloads/decodes with scoring uploads/dispatches).
+        Returns (candidates_df, psm_df, fragment_df), numerically
+        identical to select_candidates + score_and_quantify_candidates.
+        """
+        from alphadia_tpu.search.pipelined import PipelinedExtraction
+
+        cols = dict(
+            rt_column=self._cols.get_rt_column(),
+            precursor_mz_column=self._cols.get_precursor_mz_column(),
+            fragment_mz_column=self._cols.get_fragment_mz_column(),
+        )
+        pipe = PipelinedExtraction(
+            dia_data,
+            lib.precursor_df,
+            lib.fragment_df,
+            self._selection_config(),
+            self._scoring_config(light_transport=light_transport),
+            **cols,
+        )
+        return pipe()
+
     def score_and_quantify_candidates(
         self,
         candidates_df: pd.DataFrame,

@@ -230,11 +230,10 @@ class OptimizationHandler:
                 dia_data_has_mobility=self._dia_data.has_mobility,
             ),
         )
-        candidates_df = handler.select_candidates(
-            self._dia_data, self._optlock.batch_library
-        )
-        features_df, fragments_df = handler.score_and_quantify_candidates(
-            candidates_df,
+        # pipelined: scoring batches dispatch while later selection
+        # batches are still downloading (no score cutoff on optimization
+        # iterations, so the overlapped driver is numerically identical)
+        _, features_df, fragments_df = handler.select_and_score(
             self._dia_data,
             self._optlock.batch_library,
             light_transport=True,

@@ -130,15 +130,26 @@ def measure(
             ),
         )
 
+    from alphadia_tpu.search.pipelined import PipelinedExtraction
+
     def run_once(p, phases=None):
+        """One pipelined pass (production hot-path shape: selection
+        batches feed scoring as they decode; search/pipelined.py)."""
         t0 = time.time()
-        cands = _sel(p)()
+        pipe = PipelinedExtraction(
+            dia, p, frag,
+            SelectionConfig(
+                rt_tolerance=60.0, candidate_count=3, batch_size=sel_batch
+            ),
+            ScoringConfig(
+                batch_size=score_batch, collect_fragments=True,
+                compute_dtype=cdt,
+            ),
+        )
+        cands, psm, _ = pipe()
         t1 = time.time()
-        psm, _ = _score(p)(cands)
-        t2 = time.time()
         if phases is not None:
-            phases["selection"] = phases.get("selection", 0.0) + (t1 - t0)
-            phases["scoring"] = phases.get("scoring", 0.0) + (t2 - t1)
+            phases["select+score"] = phases.get("select+score", 0.0) + (t1 - t0)
         return psm
 
     # warmups: candidate extents vary slightly between jitters, which can
@@ -290,14 +301,19 @@ def _emit_failure(error: str, cpu_rate: float | None) -> None:
 
 
 def _measure_large():
-    """Proteome-scale entry: >=100k precursors (incl. decoys) over >=2000
-    cycles — predicted-library scale. One timed run; reports rate plus the
-    peak host RSS and the slab-store device footprint."""
+    """Predicted-library scale: 1,000,000 precursors (incl. decoys) over
+    2000 cycles, searched with the RT-windowed streaming driver
+    (search/streaming.py) so device slab and host RSS stay BOUNDED by the
+    window size, not the run size. One timed pass; reports rate, the max
+    per-window slab footprint and peak host RSS."""
     import resource
+    import time as _time
 
     import jax
 
-    from alphadia_tpu.rawdata import DiaData
+    from alphadia_tpu.search.scoring import ScoringConfig
+    from alphadia_tpu.search.selection import SelectionConfig
+    from alphadia_tpu.search.streaming import RtWindowedSearch
     from alphadia_tpu.testing.synthetic import (
         SyntheticConfig,
         add_synthetic_decoys,
@@ -306,29 +322,36 @@ def _measure_large():
 
     spectra, prec, frag = make_synthetic_dia(
         SyntheticConfig(
-            n_peptides=50_000,
+            n_peptides=500_000,
             n_windows=24,
             n_cycles=2000,
             noise_peaks_per_spectrum=60,
             seed=11,
         )
     )
-    prec, frag = add_synthetic_decoys(prec, frag)  # -> 100k precursors
-    dia = DiaData.from_spectra(spectra)
-    slab_bytes = sum(
-        int(np.asarray(v).nbytes)
-        for v in dia.device_arrays().values()
-        if hasattr(v, "nbytes")
+    prec, frag = add_synthetic_decoys(prec, frag)  # -> 1M precursors
+
+    cdt = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+    sw = RtWindowedSearch(
+        spectra, prec, frag,
+        SelectionConfig(rt_tolerance=60.0, candidate_count=3, batch_size=16384),
+        ScoringConfig(
+            batch_size=8192, collect_fragments=True, compute_dtype=cdt
+        ),
+        n_rt_windows=8,
     )
-    rate, phases, _, _ = measure(
-        workload=(dia, prec, frag), n_runs=1, n_warmup=1, with_device_time=False
-    )
+    t0 = _time.time()
+    psm, _ = sw()
+    dt = _time.time() - t0
     return {
         "n_precursors": int(len(prec)),
         "n_cycles": 2000,
-        "prec_per_s": round(rate, 1),
-        "phases_s": phases,
-        "slab_store_mb": round(slab_bytes / 1e6, 1),
+        "n_rt_windows": 8,
+        "prec_per_s": round(len(prec) / dt, 1),
+        "wall_s": round(dt, 1),
+        "n_psm": int(len(psm)),
+        # BOUNDED footprints: max per-window device slab + peak host RSS
+        "window_slab_mb": round(sw.peak_window_slab_mb, 1),
         "peak_host_rss_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
         ),

@@ -380,6 +380,7 @@ def _pipeline_child() -> None:
 
     n_peptides = int(os.environ.get("ADT_PIPE_PEPTIDES", 25000))
     n_cycles = int(os.environ.get("ADT_PIPE_CYCLES", 1500))
+    n_files = int(os.environ.get("ADT_PIPE_FILES", 3))
 
     # count XLA compiles (the iterative optimization loop is where
     # data-dependent shapes would recompile; window bucketing + the pow2
@@ -394,10 +395,11 @@ def _pipeline_child() -> None:
                 compiles["n"] += 1
 
     jax.config.update("jax_log_compiles", True)
+    debug = bool(os.environ.get("ADT_PIPE_DEBUG"))
     for name in ("jax._src.dispatch", "jax._src.interpreters.pxla", "jax"):
         lg = logging.getLogger(name)
         lg.addHandler(handler := _CompileCounter())
-        lg.propagate = False  # keep the console log readable
+        lg.propagate = debug  # keep the console log readable by default
 
     from alphadia_tpu.cli import run as cli_run
     from alphadia_tpu.library.speclib import SpecLibFlat
@@ -415,8 +417,11 @@ def _pipeline_child() -> None:
         tmp = Path(tmp)
         raw_paths = []
         prec = frag = None
-        # same peptide world, two acquisitions (noise/RT-shift/intensity)
-        for i, (acq, factor, shift) in enumerate([(301, 1.0, 0.0), (302, 1.4, 5.0)]):
+        # same peptide world, distinct acquisitions (noise/RT-shift/
+        # intensity). File 1 pays one-time compiles, file 2 the residual
+        # pow2-tail shapes; file 3+ is the steady-state per-file cost
+        acqs = [(301, 1.0, 0.0), (302, 1.4, 5.0), (303, 0.8, -4.0)][:n_files]
+        for i, (acq, factor, shift) in enumerate(acqs):
             spectra, p, f = make_synthetic_dia(
                 SyntheticConfig(
                     n_peptides=n_peptides,

@@ -272,7 +272,37 @@ def _backend_available(attempts: int = 3, probe_timeout_s: float = 60.0,
     return False
 
 
+def _git_head() -> str | None:
+    """Tree hash of the package + bench sources (docs-only commits keep
+    the cached CPU baseline valid)."""
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD:alphadia_tpu", "HEAD:bench.py"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return "-".join(out.stdout.split()) or None
+    except Exception:
+        return None
+
+
+_CPU_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "cpu_baseline.json"
+)
+
+
 def _cpu_baseline_rate(timeout_s: float = 3600.0) -> float | None:
+    """CPU rate of the same workload — measured once per commit and cached
+    (docs/cpu_baseline.json): the measurement is ~12 min of pure CPU and
+    deterministic for a given code version, so re-measuring it inside
+    every capture window only risks the window."""
+    head = _git_head()
+    try:
+        cached = json.load(open(_CPU_CACHE))
+        if head and cached.get("git_head") == head:
+            return cached.get("cpu_rate")
+    except Exception:
+        pass
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
@@ -281,7 +311,16 @@ def _cpu_baseline_rate(timeout_s: float = 3600.0) -> float | None:
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line).get("cpu_rate")
+                rate = json.loads(line).get("cpu_rate")
+                if rate and head:
+                    try:
+                        json.dump(
+                            {"git_head": head, "cpu_rate": rate},
+                            open(_CPU_CACHE, "w"),
+                        )
+                    except Exception:
+                        pass
+                return rate
     except Exception:
         pass
     return None
@@ -378,8 +417,11 @@ def _pipeline_child() -> None:
     import jax
     import pandas as pd
 
-    n_peptides = int(os.environ.get("ADT_PIPE_PEPTIDES", 25000))
-    n_cycles = int(os.environ.get("ADT_PIPE_CYCLES", 1500))
+    # default scale measured to fit the capture window through the
+    # remote-compile tunnel (first file pays one-time program loads);
+    # env-tunable for larger studies
+    n_peptides = int(os.environ.get("ADT_PIPE_PEPTIDES", 6000))
+    n_cycles = int(os.environ.get("ADT_PIPE_CYCLES", 1000))
     n_files = int(os.environ.get("ADT_PIPE_FILES", 3))
 
     # count XLA compiles (the iterative optimization loop is where
@@ -480,14 +522,14 @@ def _pipeline_child() -> None:
         }))
 
 
-def _measure_pipeline(timeout_s: float = 2100.0) -> dict:
-    """Run the whole-pipeline benchmark in a subprocess (hard timeout so a
-    tunnel stall cannot eat the round's capture window)."""
-    env = dict(os.environ)
+def _run_child(flag: str, timeout_s: float) -> dict:
+    """Run one bench leg in a subprocess with a hard timeout so a tunnel
+    stall cannot eat the round's capture window."""
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-child"],
-            capture_output=True, text=True, timeout=timeout_s, env=env,
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
         )
         for line in proc.stdout.splitlines():
             line = line.strip()
@@ -498,14 +540,23 @@ def _measure_pipeline(timeout_s: float = 2100.0) -> dict:
             + proc.stderr.strip()[-300:]
         }
     except subprocess.TimeoutExpired:
-        return {"error": f"pipeline child exceeded {timeout_s}s"}
+        return {"error": f"{flag} child exceeded {timeout_s}s"}
     except Exception as exc:
         return {"error": f"{type(exc).__name__}: {exc}"}
+
+
+def _measure_pipeline(timeout_s: float = 1500.0) -> dict:
+    """Whole-pipeline benchmark in a bounded subprocess."""
+    return _run_child("--pipeline-child", timeout_s)
 
 
 def main() -> None:
     if "--pipeline-child" in sys.argv:
         _pipeline_child()
+        return
+
+    if "--large-child" in sys.argv:
+        print(json.dumps(_measure_large()))
         return
 
     if "--cpu-baseline" in sys.argv:
@@ -536,10 +587,7 @@ def main() -> None:
 
     large = None
     if "--skip-large" not in sys.argv:
-        try:
-            large = _measure_large()
-        except Exception as exc:  # never lose the headline number
-            large = {"error": f"{type(exc).__name__}: {exc}"}
+        large = _run_child("--large-child", timeout_s=1500.0)
 
     pipeline = None
     if "--skip-pipeline" not in sys.argv:

@@ -545,7 +545,7 @@ def _run_child(flag: str, timeout_s: float) -> dict:
         return {"error": f"{type(exc).__name__}: {exc}"}
 
 
-def _measure_pipeline(timeout_s: float = 1500.0) -> dict:
+def _measure_pipeline(timeout_s: float = 1200.0) -> dict:
     """Whole-pipeline benchmark in a bounded subprocess."""
     return _run_child("--pipeline-child", timeout_s)
 
@@ -587,7 +587,7 @@ def main() -> None:
 
     large = None
     if "--skip-large" not in sys.argv:
-        large = _run_child("--large-child", timeout_s=1500.0)
+        large = _run_child("--large-child", timeout_s=1200.0)
 
     pipeline = None
     if "--skip-pipeline" not in sys.argv:
